@@ -1,0 +1,86 @@
+"""Score-guided masking: permutation validity + keep-set parity with a numpy
+oracle that follows the reference algorithm (MCM.py:364-423) step by step."""
+import numpy as np
+import jax.numpy as jnp
+
+from textmae_tpu.masking import apply_masking, get_ids_shuffle
+
+
+def _oracle_keep_set(score: np.ndarray, num_keep: int) -> set:
+    """Reference keep-set semantics (distinct scores assumed)."""
+    uniq = np.unique(score)
+    qs = np.arange(1, 10) * 0.1
+    thresholds = np.quantile(uniq, qs, method="linear")
+    cats = np.searchsorted(thresholds, score, side="left")
+    keep = [i for i in range(len(score)) if cats[i] == 9]
+    means = np.array(
+        [score[cats == g].mean() if (cats == g).any() else -np.inf for g in range(10)]
+    )
+    budget = num_keep - len(keep)
+    logits = means[:9]
+    sm = np.exp(logits - logits.max())
+    sm = sm / sm.sum()
+    alloc = np.round(sm * budget).astype(int)
+    for g in range(9):
+        members = [i for i in range(len(score)) if cats[i] == g]
+        members.sort(key=lambda i: score[i])
+        take = alloc[g]
+        if take > 0:
+            keep.extend(members[max(len(members) - take, 0):])
+    return set(keep[:num_keep]) if len(keep) >= num_keep else set(keep)
+
+
+class TestGetIdsShuffle:
+    def test_is_permutation(self, rng):
+        scores = jnp.asarray(rng.uniform(size=(4, 196)), dtype=jnp.float32)
+        ids = np.asarray(get_ids_shuffle(scores, 144))
+        for row in ids:
+            assert sorted(row.tolist()) == list(range(196))
+
+    def test_top_decile_always_kept(self, rng):
+        scores = np.asarray(rng.permutation(196), dtype=np.float32)[None] / 196.0
+        ids = np.asarray(get_ids_shuffle(jnp.asarray(scores), 144))[0]
+        kept = set(ids[:144].tolist())
+        top = set(np.argsort(scores[0])[-19:].tolist())  # top decile by unique quantile
+        assert top <= kept
+
+    def test_keep_set_matches_oracle(self, rng):
+        for trial in range(8):
+            score = rng.uniform(size=196).astype(np.float32)
+            score = np.unique(score)  # distinct values, len may shrink
+            if len(score) < 196:
+                score = rng.normal(size=196).astype(np.float32)  # distinct w.h.p.
+            rng.shuffle(score)
+            expected = _oracle_keep_set(score, 144)
+            ids = np.asarray(get_ids_shuffle(jnp.asarray(score[None]), 144))[0]
+            got = set(ids[: len(expected)].tolist())
+            # keep sets must agree (ordering may differ within the kept block)
+            assert got == expected, f"trial {trial}: {got ^ expected}"
+
+    def test_constant_scores_no_nan(self):
+        scores = jnp.full((2, 196), 0.5, jnp.float32)
+        ids = np.asarray(get_ids_shuffle(scores, 144))
+        for row in ids:
+            assert sorted(row.tolist()) == list(range(196))
+
+    def test_deterministic(self, rng):
+        scores = jnp.asarray(rng.uniform(size=(2, 196)), dtype=jnp.float32)
+        a = np.asarray(get_ids_shuffle(scores, 144))
+        b = np.asarray(get_ids_shuffle(scores, 144))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestApplyMasking:
+    def test_gather_and_restore(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 196, 8)), dtype=jnp.float32)
+        scores = jnp.asarray(rng.uniform(size=(2, 196)), dtype=jnp.float32)
+        x_remain, ids_restore = apply_masking(x, scores, 144)
+        assert x_remain.shape == (2, 144, 8)
+        ids_shuffle = np.asarray(get_ids_shuffle(scores, 144))
+        # restore o shuffle == identity
+        restored = np.take_along_axis(ids_shuffle, np.asarray(ids_restore), axis=1)
+        np.testing.assert_array_equal(restored, np.tile(np.arange(196), (2, 1)))
+        # gathered tokens are the kept ones
+        np.testing.assert_allclose(
+            x_remain[0, 0], np.asarray(x)[0, ids_shuffle[0, 0]]
+        )
