@@ -1,0 +1,131 @@
+"""Data pipeline tests: score maps vs. reference semantics, dataset loader."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from textmae_tpu.data.score_maps import (
+    _is_homogeneous,
+    division_merge_segment,
+    laplacian_map,
+    patch_scores,
+    total_score_for_image,
+)
+from textmae_tpu.data import ImageScoreDataset, batch_iterator
+
+
+# ---- oracle re-statements of the reference algorithms (loop form) ----------
+def _oracle_homog(area):
+    mean = np.mean(area)
+    std = np.std(area, ddof=1)
+    ops = sum(
+        1
+        for row in range(area.shape[0])
+        for col in range(area.shape[1])
+        if (area[row][col] - mean) < 2 * std
+    )
+    return ops / area.size >= 0.95
+
+
+def _oracle_patch_score(img, crop_sz=16, step=16):
+    h, w = img.shape
+    return np.array(
+        [
+            int(img[x : x + crop_sz, y : y + crop_sz].mean())
+            for x in np.arange(0, h - crop_sz + 1, step)
+            for y in np.arange(0, w - crop_sz + 1, step)
+        ]
+    )
+
+
+def test_homogeneity_matches_oracle(rng):
+    for _ in range(20):
+        h, w = rng.integers(2, 30, 2)
+        area = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        assert _is_homogeneous(area) == _oracle_homog(area)
+
+
+def test_patch_scores_match_oracle(rng):
+    img = rng.integers(0, 256, (224, 224)).astype(np.uint8)
+    np.testing.assert_array_equal(patch_scores(img), _oracle_patch_score(img))
+
+
+def test_patch_scores_nonmultiple(rng):
+    img = rng.integers(0, 256, (100, 70)).astype(np.uint8)
+    np.testing.assert_array_equal(patch_scores(img), _oracle_patch_score(img))
+
+
+def test_division_merge_binary_output(rng):
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    out = division_merge_segment(img, (32, 32))
+    assert out.shape == (32, 32)
+    # values come from resizing a 0/255 map
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_total_score_shape_and_range(rng):
+    gray = rng.integers(0, 256, (512, 768)).astype(np.uint8)
+    s = total_score_for_image(gray)
+    assert s.shape == (196,)
+    assert s.dtype == np.float32
+    assert 0.0 <= s.min() and s.max() <= 1.0
+    if s.max() > s.min():
+        assert s.max() == pytest.approx(1.0)
+        assert s.min() == pytest.approx(0.0)
+
+
+def test_laplacian_shape(rng):
+    gray = rng.integers(0, 256, (100, 120)).astype(np.uint8)
+    out = laplacian_map(gray, (224, 224))
+    assert out.shape == (224, 224)
+
+
+# ---- dataset + loader -------------------------------------------------------
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    root = tmp_path / "mini"
+    (root / "train").mkdir(parents=True)
+    n = 5
+    for i in range(n):
+        arr = rng.integers(0, 256, (40, 60, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / "train" / f"img{i}.png")
+    scores_dir = tmp_path / "mini_scores"
+    scores_dir.mkdir()
+    np.save(scores_dir / "train.npy", rng.random((n, 196), np.float32).astype(np.float32))
+    return root
+
+
+def test_dataset_sample(tiny_dataset):
+    ds = ImageScoreDataset(tiny_dataset, "train", img_size=32)
+    img, orig, score = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert orig == (60, 40)  # PIL (W, H)
+    assert score.shape == (196,)
+    # ImageNet-normalized => values can go negative
+    assert img.dtype == np.float32
+
+
+def test_batch_iterator_shapes_and_determinism(tiny_dataset):
+    ds = ImageScoreDataset(tiny_dataset, "train", img_size=32)
+    got = list(batch_iterator(ds, 2, shuffle=True, seed=7, epoch=3))
+    assert sum(b[0].shape[0] for b in got) == 5
+    got2 = list(batch_iterator(ds, 2, shuffle=True, seed=7, epoch=3))
+    for (a, sa), (b, sb) in zip(got, got2):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(sa, sb)
+
+
+def test_batch_iterator_sharding(tiny_dataset):
+    ds = ImageScoreDataset(tiny_dataset, "train", img_size=32)
+    n0 = sum(b[0].shape[0] for b in batch_iterator(ds, 2, shard_index=0, shard_count=2))
+    n1 = sum(b[0].shape[0] for b in batch_iterator(ds, 2, shard_index=1, shard_count=2))
+    assert n0 + n1 == 5
+
+
+def test_missing_scores_hard_error(tmp_path, rng):
+    root = tmp_path / "noscores"
+    (root / "train").mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)).save(
+        root / "train" / "a.png"
+    )
+    with pytest.raises(FileNotFoundError):
+        ImageScoreDataset(root, "train")

@@ -343,7 +343,7 @@ class MCM(nn.Module):
         idxs = jnp.arange(s, dtype=jnp.int32)
 
         def step(buf, xs):
-            i, y_slice, noise, cm_k, cm_b, cs_k, cs_b, lp_k, lp_b = xs
+            i, y_slice, noise, (cm_k, cm_b), (cs_k, cs_b), (lp_k, lp_b) = xs
             mean_support = self._support(buf, latent_means)
             scale_support = self._support(buf, latent_scales)
             mu = StackedSliceNet.apply_one(cm_k, cm_b, mean_support)
@@ -368,7 +368,7 @@ class MCM(nn.Module):
         _, (y_hat_slices, y_liks) = jax.lax.scan(
             step,
             buf0,
-            (idxs, y_slices, noises, *ccm_k, *ccm_b, *ccs_k, *ccs_b, *lrp_k, *lrp_b),
+            (idxs, y_slices, noises, (ccm_k, ccm_b), (ccs_k, ccs_b), (lrp_k, lrp_b)),
         )
         return self._merge_slices(y_hat_slices), self._merge_slices(y_liks)
 
@@ -472,7 +472,7 @@ class MCM(nn.Module):
         idxs = jnp.arange(s, dtype=jnp.int32)
 
         def step(buf, xs):
-            i, y_slice, cm_k, cm_b, cs_k, cs_b, lp_k, lp_b = xs
+            i, y_slice, (cm_k, cm_b), (cs_k, cs_b), (lp_k, lp_b) = xs
             mean_support = self._support(buf, latent_means)
             scale_support = self._support(buf, latent_scales)
             mu = StackedSliceNet.apply_one(cm_k, cm_b, mean_support)
@@ -492,7 +492,7 @@ class MCM(nn.Module):
             return buf, (y_q, index)
 
         _, (symbols, indexes) = jax.lax.scan(
-            step, buf0, (idxs, y_slices, *ccm_k, *ccm_b, *ccs_k, *ccs_b, *lrp_k, *lrp_b)
+            step, buf0, (idxs, y_slices, (ccm_k, ccm_b), (ccs_k, ccs_b), (lrp_k, lrp_b))
         )
         return {
             "z_sym": z_sym,  # (N, hz, wz, Cz)
