@@ -1,0 +1,168 @@
+"""Coding runtime tests: rANS round-trips (C++ and Python, cross-format),
+pmf_to_quantized_cdf C++/numpy equivalence, Huffman round-trip."""
+import numpy as np
+import pytest
+
+from textmae_tpu.coding import (
+    HuffmanCoder,
+    RansDecoder,
+    RansEncoder,
+    native_available,
+    pmf_to_quantized_cdf_native,
+)
+from textmae_tpu.entropy.tables import pmf_to_quantized_cdf
+from textmae_tpu.entropy.gaussian import build_gaussian_tables, get_scale_table
+
+NATIVE = native_available()
+
+
+def _random_tables(rng, ncdfs=8, max_syms=24):
+    cdfs, lengths, offsets = [], [], []
+    for _ in range(ncdfs):
+        n = int(rng.integers(2, max_syms))
+        pmf = rng.random(n) + 1e-4
+        cdf = pmf_to_quantized_cdf(np.append(pmf, 1e-4))
+        cdfs.append(cdf)
+        lengths.append(len(cdf))
+        offsets.append(int(rng.integers(-10, 10)))
+    stride = max(lengths)
+    table = np.zeros((ncdfs, stride), np.int32)
+    for i, c in enumerate(cdfs):
+        table[i, : len(c)] = c
+    return table, np.array(lengths, np.int32), np.array(offsets, np.int32)
+
+
+def _random_payload(rng, table, lengths, offsets, n=5000, escape_frac=0.05):
+    ncdfs = len(lengths)
+    indexes = rng.integers(0, ncdfs, n).astype(np.int32)
+    max_bins = lengths[indexes] - 2
+    symbols = (rng.random(n) * max_bins).astype(np.int32) + offsets[indexes]
+    # sprinkle out-of-range symbols to exercise escape/bypass coding
+    esc = rng.random(n) < escape_frac
+    symbols[esc] = (rng.integers(-2000, 2000, esc.sum())).astype(np.int32)
+    return symbols, indexes
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_rans_roundtrip(rng, force_python):
+    if force_python is False and not NATIVE:
+        pytest.skip("native codec unavailable")
+    table, lengths, offsets = _random_tables(rng)
+    symbols, indexes = _random_payload(rng, table, lengths, offsets)
+    enc = RansEncoder(force_python=force_python)
+    enc.encode_with_indexes(symbols, indexes, table, lengths, offsets)
+    stream = enc.flush()
+    assert len(stream) > 0
+    dec = RansDecoder(force_python=force_python)
+    dec.set_stream(stream)
+    out = dec.decode_stream(indexes, table, lengths, offsets)
+    np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native codec unavailable")
+def test_rans_cross_implementation(rng):
+    """C++ and Python produce byte-identical streams; each decodes the other."""
+    table, lengths, offsets = _random_tables(rng)
+    symbols, indexes = _random_payload(rng, table, lengths, offsets, n=800)
+    streams = {}
+    for force_python in (False, True):
+        enc = RansEncoder(force_python=force_python)
+        enc.encode_with_indexes(symbols, indexes, table, lengths, offsets)
+        streams[force_python] = enc.flush()
+    assert streams[False] == streams[True]
+    dec = RansDecoder(force_python=True)
+    dec.set_stream(streams[False])
+    np.testing.assert_array_equal(
+        dec.decode_stream(indexes, table, lengths, offsets), symbols
+    )
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_rans_multicall_stream(rng, force_python):
+    """Buffered encode across calls + streaming decode (the 12-slice pattern)."""
+    if force_python is False and not NATIVE:
+        pytest.skip("native codec unavailable")
+    table, lengths, offsets = _random_tables(rng)
+    chunks = [_random_payload(rng, table, lengths, offsets, n=300) for _ in range(12)]
+    enc = RansEncoder(force_python=force_python)
+    for symbols, indexes in chunks:
+        enc.encode_with_indexes(symbols, indexes, table, lengths, offsets)
+    stream = enc.flush()
+    dec = RansDecoder(force_python=force_python)
+    dec.set_stream(stream)
+    for symbols, indexes in chunks:
+        out = dec.decode_stream(indexes, table, lengths, offsets)
+        np.testing.assert_array_equal(out, symbols)
+
+
+def test_rans_compression_efficiency(rng):
+    """Near-deterministic PMFs must code close to entropy, not at 16 bits/sym."""
+    n_sym = 16
+    pmf = np.full(n_sym, 1e-4)
+    pmf[0] = 1.0
+    cdf = pmf_to_quantized_cdf(np.append(pmf / pmf.sum(), 1e-6))
+    table = cdf[None].astype(np.int32)
+    lengths = np.array([len(cdf)], np.int32)
+    offsets = np.array([0], np.int32)
+    n = 20000
+    symbols = np.zeros(n, np.int32)
+    indexes = np.zeros(n, np.int32)
+    enc = RansEncoder()
+    enc.encode_with_indexes(symbols, indexes, table, lengths, offsets)
+    stream = enc.flush()
+    bits_per_symbol = len(stream) * 8 / n
+    assert bits_per_symbol < 0.05  # entropy ~0.002 bits/sym
+
+
+@pytest.mark.skipif(not NATIVE, reason="native codec unavailable")
+def test_pmf_to_quantized_cdf_native_matches_numpy(rng):
+    for _ in range(50):
+        n = int(rng.integers(2, 300))
+        pmf = rng.random(n) ** 4  # spiky, many near-zero entries
+        np.testing.assert_array_equal(
+            pmf_to_quantized_cdf_native(pmf), pmf_to_quantized_cdf(pmf)
+        )
+
+
+def test_gaussian_tables_roundtrip(rng):
+    """Symbols drawn near the table scales round-trip through real coding."""
+    table = build_gaussian_tables(get_scale_table())
+    n = 4000
+    indexes = rng.integers(0, len(table.cdf_length), n).astype(np.int32)
+    scales = get_scale_table()[indexes]
+    symbols = np.round(rng.normal(0, scales)).astype(np.int32)
+    enc = RansEncoder()
+    enc.encode_with_indexes(
+        symbols, indexes, table.quantized_cdf, table.cdf_length, table.offset
+    )
+    stream = enc.flush()
+    dec = RansDecoder()
+    dec.set_stream(stream)
+    out = dec.decode_stream(
+        indexes, table.quantized_cdf, table.cdf_length, table.offset
+    )
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_huffman_roundtrip(rng):
+    coder = HuffmanCoder()
+    for shape in [(196,), (1, 196), (5, 5)]:
+        values = rng.integers(0, 196, shape)
+        payload = coder.compress(values)
+        np.testing.assert_array_equal(coder.decompress(payload), values)
+        assert payload.num_bits() > 0
+
+
+def test_huffman_single_symbol():
+    coder = HuffmanCoder()
+    values = np.full((10,), 7)
+    payload = coder.compress(values)
+    np.testing.assert_array_equal(coder.decompress(payload), values)
+
+
+def test_huffman_beats_raw(rng):
+    """Skewed data must compress below the raw 8-bit encoding."""
+    coder = HuffmanCoder()
+    values = np.clip(rng.geometric(0.5, 2000) - 1, 0, 255)
+    payload = coder.compress(values)
+    assert payload.num_bits() < 8 * len(values)

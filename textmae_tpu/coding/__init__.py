@@ -1,0 +1,22 @@
+"""Bitstream coding runtime: C++ rANS codec, CDF builder, Huffman side-info.
+
+The hot path (per-symbol range coding) is native C++ (csrc/rans.cpp, C ABI via
+ctypes); a bit-exact pure-Python mirror keeps the package importable where the
+toolchain is unavailable.
+"""
+from textmae_tpu.coding.rans import (
+    RansDecoder,
+    RansEncoder,
+    native_available,
+    pmf_to_quantized_cdf_native,
+)
+from textmae_tpu.coding.huffman import HuffmanCoder, HuffmanPayload
+
+__all__ = [
+    "RansEncoder",
+    "RansDecoder",
+    "native_available",
+    "pmf_to_quantized_cdf_native",
+    "HuffmanCoder",
+    "HuffmanPayload",
+]
