@@ -1,0 +1,196 @@
+"""Training infrastructure tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from textmae_tpu.models.mcm import MCM, MCMConfig
+from textmae_tpu.parallel import make_mesh, shard_batch
+from textmae_tpu.train import TrainState, configure_optimizers, make_eval_step, make_train_step
+from textmae_tpu.train.checkpoint import (
+    BestTracker,
+    mae_torch_to_flax,
+    merge_pretrained,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from textmae_tpu.train.optim import param_labels
+
+TINY = MCMConfig(
+    img_size=96,
+    encoder_embed_dim=32,
+    encoder_depth=2,
+    encoder_num_heads=2,
+    decoder_embed_dim=16,
+    decoder_depth=1,
+    decoder_num_heads=2,
+    latent_depth=24,
+    hyperprior_depth=16,
+    num_slices=4,
+    num_keep_patches=16,
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = MCM(TINY)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.default_rng(0).random((2, 3, 96, 96), np.float32))
+    scores = jnp.asarray(np.random.default_rng(1).random((2, TINY.num_patches), np.float32))
+    variables = model.init(
+        {"params": rng, "noise": rng}, imgs, scores, training=False, compute_loss=True
+    )
+    return model, variables["params"], imgs, scores
+
+
+def test_param_labels_partition(tiny_setup):
+    _, params, _, _ = tiny_setup
+    labels = param_labels(params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    aux = [p for p, v in flat if v == "aux"]
+    main = [p for p, v in flat if v == "main"]
+    assert len(aux) == 1  # exactly the entropy_bottleneck quantiles
+    assert "entropy_bottleneck" in str(aux[0])
+    assert len(main) > 10
+
+
+def test_train_step_runs_and_descends(tiny_setup):
+    model, params, imgs, scores = tiny_setup
+    tx = configure_optimizers(params, learning_rate=1e-3, aux_learning_rate=1e-2)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, lmbda=1e-4, donate=False)
+    batch = {"imgs": imgs, "scores": scores}
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 3
+    assert all(np.isfinite(l) for l in losses)
+    # quantiles actually moved under the aux optimizer
+    q0 = params["entropy_bottleneck"]["quantiles"]
+    q1 = state.params["entropy_bottleneck"]["quantiles"]
+    assert not np.allclose(np.asarray(q0), np.asarray(q1))
+
+
+def test_train_step_data_parallel(tiny_setup):
+    model, params, imgs, scores = tiny_setup
+    mesh = make_mesh()  # 8 virtual CPU devices
+    assert mesh.devices.size == 8
+    tx = configure_optimizers(params)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, lmbda=1e-4, donate=False)
+    big = {
+        "imgs": jnp.tile(imgs, (4, 1, 1, 1)),
+        "scores": jnp.tile(scores, (4, 1)),
+    }
+    sharded = shard_batch(big, mesh)
+    assert len(sharded["imgs"].sharding.device_set) == 8
+    state2, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # global-batch metrics equal the unsharded computation
+    state3, metrics_unsharded = step(state, big, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_unsharded["loss"]), rtol=2e-4
+    )
+
+
+def test_eval_step(tiny_setup):
+    model, params, imgs, scores = tiny_setup
+    es = make_eval_step(model, lmbda=1e-4)
+    metrics = es(params, {"imgs": imgs, "scores": scores})
+    assert set(metrics) == {"loss", "bpp_loss", "ssim_loss", "L1_loss", "vgg_loss", "aux_loss"}
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    _, params, _, _ = tiny_setup
+    tx = configure_optimizers(params)
+    state = TrainState.create(params, tx)
+    path = save_checkpoint(tmp_path, "ck_test", state, {"epoch": 3, "note": "x"})
+    assert path is not None and path.exists()
+    restored, meta = restore_checkpoint(path, state_template=state)
+    assert meta["epoch"] == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["cls_token"]), np.asarray(state.params["cls_token"])
+    )
+
+
+def test_best_tracker(tiny_setup, tmp_path):
+    _, params, _, _ = tiny_setup
+    tx = configure_optimizers(params)
+    state = TrainState.create(params, tx)
+    bt = BestTracker(tmp_path)
+    assert bt.save(state, {}, epoch=0, val_loss=2.0)
+    assert not bt.save(state, {}, epoch=1, val_loss=3.0)
+    assert bt.save(state, {}, epoch=2, val_loss=1.0)
+    assert (tmp_path / "checkpoint_best").exists()
+    _, meta = restore_checkpoint(tmp_path / "checkpoint_best")
+    assert meta["epoch"] == 2
+
+
+def _synthetic_torch_sd(embed=32, depth=2, dec_embed=16, dec_depth=1, patch=16):
+    """Torch-layout MAE state dict with the reference's key names."""
+    rng = np.random.default_rng(0)
+    sd = {
+        "cls_token": rng.standard_normal((1, 1, embed)).astype(np.float32),
+        "mask_token": rng.standard_normal((1, 1, dec_embed)).astype(np.float32),
+        "patch_embed.proj.weight": rng.standard_normal((embed, 3, patch, patch)).astype(np.float32),
+        "patch_embed.proj.bias": rng.standard_normal(embed).astype(np.float32),
+        "norm.weight": np.ones(embed, np.float32),
+        "norm.bias": np.zeros(embed, np.float32),
+        "decoder_embed.weight": rng.standard_normal((dec_embed, embed)).astype(np.float32),
+        "decoder_embed.bias": np.zeros(dec_embed, np.float32),
+        "decoder_norm.weight": np.ones(dec_embed, np.float32),
+        "decoder_norm.bias": np.zeros(dec_embed, np.float32),
+        "decoder_pred.weight": rng.standard_normal((patch * patch * 3, dec_embed)).astype(np.float32),
+        "decoder_pred.bias": np.zeros(patch * patch * 3, np.float32),
+        "head.weight": rng.standard_normal((10, embed)).astype(np.float32),  # dropped
+    }
+
+    def block(prefix, dim):
+        sd.update({
+            f"{prefix}.norm1.weight": np.ones(dim, np.float32),
+            f"{prefix}.norm1.bias": np.zeros(dim, np.float32),
+            f"{prefix}.attn.qkv.weight": rng.standard_normal((3 * dim, dim)).astype(np.float32),
+            f"{prefix}.attn.qkv.bias": np.zeros(3 * dim, np.float32),
+            f"{prefix}.attn.proj.weight": rng.standard_normal((dim, dim)).astype(np.float32),
+            f"{prefix}.attn.proj.bias": np.zeros(dim, np.float32),
+            f"{prefix}.norm2.weight": np.ones(dim, np.float32),
+            f"{prefix}.norm2.bias": np.zeros(dim, np.float32),
+            f"{prefix}.mlp.fc1.weight": rng.standard_normal((4 * dim, dim)).astype(np.float32),
+            f"{prefix}.mlp.fc1.bias": np.zeros(4 * dim, np.float32),
+            f"{prefix}.mlp.fc2.weight": rng.standard_normal((dim, 4 * dim)).astype(np.float32),
+            f"{prefix}.mlp.fc2.bias": np.zeros(dim, np.float32),
+        })
+
+    for i in range(depth):
+        block(f"blocks.{i}", embed)
+    for i in range(dec_depth):
+        block(f"decoder_blocks.{i}", dec_embed)
+    return sd
+
+
+def test_torch_import_merges(tiny_setup):
+    model, params, imgs, scores = tiny_setup
+    sd = _synthetic_torch_sd()
+    converted = mae_torch_to_flax(sd)
+    merged = merge_pretrained(params, converted, strict_shapes=False)
+    # qkv kernel transposed into flax layout and loaded
+    np.testing.assert_allclose(
+        np.asarray(merged["encoder_blocks_0"]["attn"]["qkv"]["kernel"]),
+        sd["blocks.0.attn.qkv.weight"].T,
+    )
+    # conv OIHW -> HWIO
+    np.testing.assert_allclose(
+        np.asarray(merged["encoder_embed"]["proj"]["kernel"]),
+        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+    )
+    # merged params still drive the model
+    out = model.apply(
+        {"params": merged}, imgs, scores, training=False, compute_loss=False
+    )
+    assert np.isfinite(np.asarray(out["x_hat"]).sum())

@@ -1,0 +1,24 @@
+"""Device mesh construction, sharding rules, and multi-host init.
+
+Replaces the reference's torch.distributed/NCCL layer
+(/root/reference/models/MAE/util/misc.py:170-248,
+models/Compression/common/distributed.py) with the SPMD model: one jit over a
+`jax.sharding.Mesh`, XLA inserting collectives over ICI/DCN. Metric all-reduce
+(`all_reduce_mean`, logger sync) is free — scalars produced under jit from
+sharded inputs are already global.
+"""
+from textmae_tpu.parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "shard_batch",
+    "replicate",
+    "init_distributed",
+]

@@ -1,0 +1,153 @@
+"""Jitted steps for the MAE secondary workloads: pretrain, finetune, linprobe.
+
+Engine parity with /root/reference/models/MAE/engine_pretrain.py:21-82 and
+engine_finetune.py:25-130, TPU-shaped: per-iteration LR comes from an optax
+schedule baked into the optimizer (no host-side adjust_learning_rate), AMP
+autocast is bf16 compute dtype, the NaN abort check happens on the host from
+the returned metric.
+
+Mixup/cutmix (main_finetune.py:218-226 via timm) are implemented as device
+ops inside the train step; label smoothing folds into the soft-target
+cross-entropy.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from textmae_tpu.train.state import TrainState
+
+
+# ---------------------------------------------------------------------------
+# pretrain
+# ---------------------------------------------------------------------------
+def make_mae_pretrain_step(model, tx, mask_ratio: float = 0.75, donate: bool = True):
+    def loss_fn(params, imgs, rng):
+        loss, _, _ = model.apply(
+            {"params": params}, imgs, mask_ratio, training=True, rngs={"mask": rng}
+        )
+        return loss
+
+    def step(state: TrainState, imgs: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, imgs, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# classification (finetune / linprobe)
+# ---------------------------------------------------------------------------
+def mixup_cutmix(
+    rng: jax.Array,
+    imgs: jnp.ndarray,
+    labels_onehot: jnp.ndarray,
+    mixup_alpha: float = 0.8,
+    cutmix_alpha: float = 1.0,
+    switch_prob: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device mixup/cutmix over the batch (timm Mixup semantics, batch mode)."""
+    n = imgs.shape[0]
+    r_perm, r_lam, r_switch, r_box = jax.random.split(rng, 4)
+    perm = jax.random.permutation(r_perm, n)
+    use_cutmix = jax.random.bernoulli(r_switch, switch_prob)
+
+    lam_mix = jax.random.beta(r_lam, mixup_alpha, mixup_alpha)
+    lam_cut = jax.random.beta(r_lam, cutmix_alpha, cutmix_alpha)
+
+    h, w = imgs.shape[-2], imgs.shape[-1]
+
+    def do_mixup(_):
+        lam = lam_mix
+        mixed = lam * imgs + (1 - lam) * imgs[perm]
+        return mixed, lam
+
+    def do_cutmix(_):
+        lam = lam_cut
+        cut_ratio = jnp.sqrt(1.0 - lam)
+        ch, cw = (h * cut_ratio).astype(jnp.int32), (w * cut_ratio).astype(jnp.int32)
+        cy = jax.random.randint(r_box, (), 0, h)
+        cx = jax.random.randint(jax.random.fold_in(r_box, 1), (), 0, w)
+        y0 = jnp.clip(cy - ch // 2, 0, h)
+        y1 = jnp.clip(cy + ch // 2, 0, h)
+        x0 = jnp.clip(cx - cw // 2, 0, w)
+        x1 = jnp.clip(cx + cw // 2, 0, w)
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        box = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)).astype(imgs.dtype)
+        mixed = imgs * (1 - box) + imgs[perm] * box
+        lam_adj = 1.0 - ((y1 - y0) * (x1 - x0)) / (h * w)
+        return mixed, lam_adj
+
+    mixed, lam = jax.lax.cond(use_cutmix, do_cutmix, do_mixup, None)
+    targets = lam * labels_onehot + (1 - lam) * labels_onehot[perm]
+    return mixed, targets
+
+
+def soft_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    return -(targets * jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)).sum(-1).mean()
+
+
+def make_classifier_train_step(
+    model,
+    tx,
+    num_classes: int,
+    label_smoothing: float = 0.1,
+    mixup: bool = True,
+    mixup_alpha: float = 0.8,
+    cutmix_alpha: float = 1.0,
+    frozen_backbone: bool = False,
+    donate: bool = True,
+):
+    """Finetune (mixup + smoothing) or linear-probe (frozen features) step.
+
+    frozen_backbone stops gradients into everything but the head
+    (main_linprobe.py:222-231's requires_grad_(False) analog).
+    """
+
+    def loss_fn(params, imgs, labels, rng):
+        onehot = jax.nn.one_hot(labels, num_classes)
+        if label_smoothing > 0:
+            onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
+        if mixup:
+            imgs, onehot = mixup_cutmix(rng, imgs, onehot, mixup_alpha, cutmix_alpha)
+        if frozen_backbone:
+            head = params["head"]
+            frozen = jax.lax.stop_gradient({k: v for k, v in params.items() if k != "head"})
+            params = {**frozen, "head": head}
+        logits = model.apply({"params": params}, imgs)
+        return soft_cross_entropy(logits, onehot)
+
+    def step(state: TrainState, imgs, labels, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, imgs, labels, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_classifier_eval_step(model):
+    """Top-1/top-5 accuracy counts (engine_finetune.py:98-130)."""
+
+    def step(params, imgs, labels):
+        logits = model.apply({"params": params}, imgs)
+        top5 = jax.lax.top_k(logits, 5)[1]
+        correct1 = (top5[:, 0] == labels).sum()
+        correct5 = (top5 == labels[:, None]).any(axis=1).sum()
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels
+        ).mean()
+        return {"correct1": correct1, "correct5": correct5, "loss": loss,
+                "count": jnp.int32(labels.shape[0])}
+
+    return jax.jit(step)
