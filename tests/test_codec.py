@@ -1,0 +1,91 @@
+"""Real-bitstream codec tests: compress->decompress fidelity vs the forward pass."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from textmae_tpu.eval import MCMCodec, compute_metrics, inference, inference_entropy_estimation
+from textmae_tpu.models.mcm import MCM, MCMConfig
+
+TINY = MCMConfig(
+    img_size=96,
+    encoder_embed_dim=32,
+    encoder_depth=2,
+    encoder_num_heads=2,
+    decoder_embed_dim=16,
+    decoder_depth=1,
+    decoder_num_heads=2,
+    latent_depth=24,
+    hyperprior_depth=16,
+    num_slices=4,
+    num_keep_patches=16,
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MCM(TINY)
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.random((2, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((2, TINY.num_patches), np.float32))
+    variables = model.init(
+        {"params": rng, "noise": rng}, imgs, scores, training=False, compute_loss=False
+    )
+    return model, variables, imgs, scores
+
+
+def test_codec_roundtrip_matches_forward(setup):
+    """decompress(compress(x)) must equal the eval-mode forward x_hat: the
+    forward pass quantizes exactly as the codec does (round around mu /
+    medians), so any mismatch indicates stream desync or math divergence."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    streams, ids_restore = codec.compress(imgs, scores)
+    assert len(streams) == 2
+    assert all(len(s.y_string) > 0 and len(s.z_string) > 0 for s in streams)
+    x_hat = codec.decompress(streams, ids_restore)
+
+    out = model.apply(variables, imgs, scores, training=False, compute_loss=False)
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(out["x_hat"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_codec_requires_update(setup):
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    with pytest.raises(RuntimeError):
+        codec.compress(imgs, scores)
+
+
+def test_inference_metrics(setup):
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    res = inference(codec, imgs, scores)
+    for key in ("psnr", "ms-ssim", "bpp", "encoding_time", "decoding_time"):
+        assert key in res, key
+    assert res["bpp"] > 0
+    assert np.isfinite(res["psnr"])
+
+
+def test_entropy_estimation_close_to_real_bpp(setup):
+    """Estimated bits (likelihoods) vs real coded stream bits (excluding the
+    Huffman ids_restore side info, which the estimate doesn't model). rANS
+    carries a fixed ~2x64-bit flush overhead per stream; allow it."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    real = inference(codec, imgs, scores)
+    est = inference_entropy_estimation(model, variables, imgs, scores)
+    num_pixels = 96 * 96
+    real_bits = real["bpp_streams"] * num_pixels
+    est_bits = est["bpp"] * num_pixels
+    overhead_bits = 2 * 64  # two streams x 64-bit final state
+    assert real_bits <= est_bits * 1.5 + overhead_bits + 16
+    assert real_bits >= est_bits * 0.5 - 16
+    # total bpp decomposes exactly
+    assert real["bpp"] == pytest.approx(real["bpp_streams"] + real["bpp_side_info"])

@@ -144,6 +144,38 @@ def test_gaussian_tables_roundtrip(rng):
     np.testing.assert_array_equal(out, symbols)
 
 
+def test_permutation_coder_roundtrip(rng):
+    from textmae_tpu.coding.permutation import PermutationCoder
+
+    for L in (4, 36, 196):
+        coder = PermutationCoder(L)
+        for _ in range(3):
+            perm = rng.permutation(L)
+            data = coder.compress(perm)
+            np.testing.assert_array_equal(coder.decompress(data), perm)
+
+
+def test_permutation_coder_near_optimal(rng):
+    """Coded size ~ log2(L!) + rANS flush overhead, beating Huffman."""
+    from textmae_tpu.coding.permutation import PermutationCoder
+    from scipy.special import gammaln
+
+    L = 196
+    coder = PermutationCoder(L)
+    bits = len(coder.compress(rng.permutation(L))) * 8
+    optimal = gammaln(L + 1) / np.log(2)  # log2(196!) ~ 1243 bits
+    assert bits <= optimal + 96 + 8  # flush state + padding slack
+    huff_bits = HuffmanCoder().compress(rng.permutation(L)).num_bits()
+    assert bits < huff_bits
+
+
+def test_permutation_coder_rejects_non_permutation():
+    from textmae_tpu.coding.permutation import PermutationCoder
+
+    with pytest.raises(ValueError):
+        PermutationCoder(4).compress(np.array([0, 1, 1, 3]))
+
+
 def test_huffman_roundtrip(rng):
     coder = HuffmanCoder()
     for shape in [(196,), (1, 196), (5, 5)]:

@@ -1,0 +1,234 @@
+"""MCMCodec: real-bitstream compress / decompress around the MCM model.
+
+Pipeline parity with MCM.compress/decompress
+(/root/reference/models/Compression/MCM.py:805-968) with a TPU-first split:
+
+  compress   — an analysis jit (encoder + g_a + h_a) produces y and the hyper
+               symbols; the 12-slice conditional chain then runs through the
+               SAME jitted per-slice programs the decoder uses, chained
+               device-side with no host sync (dispatch is async), and the host
+               C++ rANS coder encodes each image's stream afterwards, in
+               parallel across a thread pool (ctypes releases the GIL). The
+               reference instead interleaves device math and host coding per
+               slice with `.tolist()` transfers (MCM.py:852-880).
+  decompress — the format's data dependency is real: slice i's mu/sigma
+               depend on decoded slices < i. A tiny per-slice jit
+               (mu/sigma/indexes) alternates with host stream decoding —
+               exactly the dependency chain, nothing more.
+
+Sharing the per-slice programs between the two directions guarantees encoder
+and decoder compute bit-identical mu/sigma (and therefore identical rANS
+indexes): XLA programs are deterministic, but *different* fusions of the same
+math need not agree in the last float bit, which would desynchronize the
+stream. (`MCM.encode_device` remains the single-jit fast path for
+entropy-estimation-style use.)
+
+`update()` builds the quantized CDF tables host-side (testing.py:223's
+model.update(force=True)).
+"""
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from textmae_tpu.coding import RansDecoder, RansEncoder
+from textmae_tpu.entropy.entropy_bottleneck import build_eb_tables
+from textmae_tpu.entropy.gaussian import build_gaussian_tables, get_scale_table
+from textmae_tpu.entropy.tables import CdfTable
+from textmae_tpu.models.mcm import MCM
+
+
+@dataclasses.dataclass
+class CompressedImage:
+    """One image's bitstream: y (slices) string, z (hyper) string, z grid shape."""
+
+    y_string: bytes
+    z_string: bytes
+    z_shape: Tuple[int, int]
+
+    def num_bits(self) -> int:
+        return 8 * (len(self.y_string) + len(self.z_string))
+
+
+class MCMCodec:
+    def __init__(self, model: MCM, variables: Dict, num_threads: int = 8):
+        self.model = model
+        self.variables = variables
+        self.cfg = model.config
+        self.scale_table = get_scale_table()
+        self.gauss_tables: Optional[CdfTable] = None
+        self.eb_tables: Optional[CdfTable] = None
+        self.num_threads = num_threads
+        self._medians = np.asarray(
+            variables["params"]["entropy_bottleneck"]["quantiles"]
+        )[:, 0, 1].astype(np.float32)
+
+        st = jnp.asarray(self.scale_table)
+        med = jnp.asarray(self._medians)
+
+        self._front = jax.jit(
+            lambda v, imgs, scores: model.apply(v, imgs, scores, method=MCM.encode_front)
+        )
+        self._hyper = jax.jit(
+            lambda v, z_sym: model.apply(
+                v, z_sym.astype(jnp.float32) + med, method=MCM.decode_hyper
+            )
+        )
+        self._slice_params = jax.jit(
+            lambda v, buf, m, s, i: model.apply(
+                v, buf, m, s, i, st, method=MCM.decode_slice_params
+            )
+        )
+        self._quantize_slice = jax.jit(
+            lambda v, y, mu, i: model.apply(v, y, mu, i, method=MCM.quantize_slice)
+        )
+        self._slice_update = jax.jit(
+            lambda v, buf, ms, mu, sym, i: model.apply(
+                v, buf, ms, mu, sym, i, method=MCM.decode_slice_update
+            )
+        )
+        self._finish = jax.jit(
+            lambda v, y_hat, ids: model.apply(v, y_hat, ids, method=MCM.decode_finish)
+        )
+
+    # ------------------------------------------------------------------
+    def update(self, force: bool = False) -> None:
+        """Build quantized CDF tables (compressai model.update analog)."""
+        if self.gauss_tables is not None and not force:
+            return
+        self.gauss_tables = build_gaussian_tables(self.scale_table)
+        self.eb_tables = build_eb_tables(
+            self.variables["params"]["entropy_bottleneck"]
+        )
+
+    def _require_tables(self):
+        if self.gauss_tables is None or self.eb_tables is None:
+            raise RuntimeError("call codec.update() before compress/decompress")
+
+    def _z_shape(self) -> Tuple[int, int]:
+        g = self.cfg.keep_grid
+        return ((g + 3) // 4, (g + 3) // 4)  # two stride-2 convs in h_a
+
+    # ------------------------------------------------------------------
+    def _run_slice_chain(self, y, latent_means, latent_scales):
+        """Device-side conditional chain via the shared per-slice programs.
+
+        Returns stacked (symbols, indexes): (S, N, h, w, g) int32 each.
+        """
+        cfg = self.cfg
+        n, h, w, _ = y.shape
+        buf = jnp.zeros((n, h, w, cfg.group_ch * cfg.max_support), jnp.float32)
+        syms, idxs = [], []
+        for si in range(cfg.num_slices):
+            i = jnp.int32(si)
+            mu, index, mean_support = self._slice_params(
+                self.variables, buf, latent_means, latent_scales, i
+            )
+            sym = self._quantize_slice(self.variables, y, mu, i)
+            buf, _ = self._slice_update(
+                self.variables, buf, mean_support, mu, sym, i
+            )
+            syms.append(sym)
+            idxs.append(index)
+        return jnp.stack(syms), jnp.stack(idxs)
+
+    def compress(
+        self, imgs: jnp.ndarray, total_scores: jnp.ndarray
+    ) -> Tuple[List[CompressedImage], np.ndarray]:
+        """(N,C,H,W) images -> (per-image bitstreams, ids_restore (N, L))."""
+        self._require_tables()
+        front = self._front(self.variables, imgs, total_scores)
+        z_sym_d = front["z_sym"]
+        latent_means, latent_scales = self._hyper(self.variables, z_sym_d)
+        syms_d, idxs_d = self._run_slice_chain(front["y"], latent_means, latent_scales)
+
+        symbols = np.asarray(syms_d)  # (S, N, h, w, g)
+        indexes = np.asarray(idxs_d)
+        z_sym = np.asarray(z_sym_d)  # (N, hz, wz, Cz)
+        ids_restore = np.asarray(front["ids_restore"])
+        n = z_sym.shape[0]
+
+        gt, et = self.gauss_tables, self.eb_tables
+        cz = z_sym.shape[-1]
+        z_indexes = np.tile(np.arange(cz, dtype=np.int32), z_sym[0].size // cz)
+        z_shape = z_sym.shape[1:3]
+
+        def code_one(i: int) -> CompressedImage:
+            enc = RansEncoder()
+            # all 12 slices buffered into one stream (MCM.py:845-887)
+            enc.encode_with_indexes(
+                symbols[:, i], indexes[:, i],
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
+            y_string = enc.flush()
+            enc_z = RansEncoder()
+            enc_z.encode_with_indexes(
+                z_sym[i], z_indexes, et.quantized_cdf, et.cdf_length, et.offset
+            )
+            return CompressedImage(
+                y_string=y_string, z_string=enc_z.flush(), z_shape=z_shape
+            )
+
+        if n > 1:
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                streams = list(pool.map(code_one, range(n)))
+        else:
+            streams = [code_one(0)]
+        return streams, ids_restore
+
+    # ------------------------------------------------------------------
+    def decompress(
+        self, streams: Sequence[CompressedImage], ids_restore: np.ndarray
+    ) -> jnp.ndarray:
+        """Per-image bitstreams -> (N, C, H, W) reconstruction."""
+        self._require_tables()
+        cfg = self.cfg
+        gt, et = self.gauss_tables, self.eb_tables
+        n = len(streams)
+        hz, wz = streams[0].z_shape
+        cz = cfg.hyperprior_depth
+
+        # hyperlatent decode (host) -> z_hat -> means/scales (device)
+        z_indexes = np.tile(np.arange(cz, dtype=np.int32), hz * wz)
+        z_sym = np.empty((n, hz, wz, cz), np.int32)
+        for i, s in enumerate(streams):
+            dec = RansDecoder()
+            dec.set_stream(s.z_string)
+            z_sym[i] = dec.decode_stream(
+                z_indexes, et.quantized_cdf, et.cdf_length, et.offset
+            ).reshape(hz, wz, cz)
+        latent_means, latent_scales = self._hyper(self.variables, jnp.asarray(z_sym))
+
+        g = cfg.group_ch
+        grid = cfg.keep_grid
+        decs = []
+        for s in streams:
+            d = RansDecoder()
+            d.set_stream(s.y_string)
+            decs.append(d)
+
+        buf = jnp.zeros((n, grid, grid, g * cfg.max_support), jnp.float32)
+        y_slices = []
+        for si in range(cfg.num_slices):
+            i = jnp.int32(si)
+            mu, index, mean_support = self._slice_params(
+                self.variables, buf, latent_means, latent_scales, i
+            )
+            index_np = np.asarray(index)
+            sym = np.empty((n, grid, grid, g), np.int32)
+            for j, d in enumerate(decs):
+                sym[j] = d.decode_stream(
+                    index_np[j], gt.quantized_cdf, gt.cdf_length, gt.offset
+                ).reshape(grid, grid, g)
+            buf, y_hat_slice = self._slice_update(
+                self.variables, buf, mean_support, mu, jnp.asarray(sym), i
+            )
+            y_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_slices, axis=-1)
+        return self._finish(self.variables, y_hat, jnp.asarray(ids_restore))

@@ -502,6 +502,28 @@ class MCM(nn.Module):
             "ids_restore": ids_restore,
         }
 
+    def encode_front(self, imgs: jnp.ndarray, total_scores: jnp.ndarray) -> Dict:
+        """Analysis front half: images -> (y grid, z symbols, ids_restore).
+
+        Used by MCMCodec's bit-safe compress path: everything downstream of
+        z_sym (hyper synthesis, slice mu/sigma) runs through the SAME jitted
+        programs as decompress, so encoder and decoder see bit-identical
+        floats (XLA programs are deterministic; *different* fusions of the
+        same math need not be).
+        """
+        x_remain, ids_restore = self.forward_encoder(imgs, total_scores)
+        y = self.g_a(self._tokens_to_grid(x_remain))
+        z = self.run_h_a(y)
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_sym = jnp.round(z - medians).astype(jnp.int32)
+        return {"y": y, "z_sym": z_sym, "ids_restore": ids_restore}
+
+    def quantize_slice(self, y: jnp.ndarray, mu: jnp.ndarray, slice_index) -> jnp.ndarray:
+        """Symbols round(y_slice - mu) for slice `slice_index` of the y grid."""
+        g = self.config.group_ch
+        y_slice = jax.lax.dynamic_slice_in_dim(y, slice_index * g, g, axis=-1)
+        return gaussian_quantize_symbols(y_slice, mu)
+
     def decode_hyper(self, z_hat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """z_hat -> (latent_means, latent_scales) (MCM.py:900-904)."""
         return (
