@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: Kodak-24 compress+decompress throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+North-star target (BASELINE.json): >50 images/sec/chip for Kodak-24
+compress+decompress on v5e; vs_baseline = value / 50.
+
+Pipeline measured per image (steady state, after warmup/compile):
+  score-guided masked ViT encode -> hyperprior -> 12-slice conditional chain
+  -> C++ rANS encode -> rANS decode -> slice chain -> ViT decode -> image,
+  including the Huffman-coded ids_restore side info. Host coding threads
+  overlap device math across the batch.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+KODAK_DIRS = [
+    Path(os.environ.get("TEXTMAE_KODAK", "")),
+    Path("/root/reference/datasets/kodak"),
+    Path("datasets/kodak"),
+]
+TARGET_IMG_PER_S = 50.0
+
+
+def load_images(img_size=224):
+    from PIL import Image
+
+    files = []
+    for d in KODAK_DIRS:
+        if d and d.is_dir():
+            files = sorted(d.glob("*.png"))
+            if files:
+                break
+    rng = np.random.default_rng(0)
+    if not files:  # synthetic fallback: bench still runs anywhere
+        return rng.random((24, img_size, img_size, 3), np.float32), None
+
+    imgs, grays = [], []
+    for f in files[:24]:
+        with Image.open(f) as im:
+            im = im.convert("RGB")
+            g = np.asarray(im.convert("L"))
+            im = im.resize((img_size, img_size), Image.BICUBIC)
+            imgs.append(np.asarray(im, np.float32) / 255.0)
+            grays.append(g)
+    return np.stack(imgs), grays
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from textmae_tpu.data.score_maps import total_score_for_image
+    from textmae_tpu.eval import MCMCodec, compute_metrics
+    from textmae_tpu.coding.permutation import PermutationCoder
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+
+    imgs_np, grays = load_images()
+    n = imgs_np.shape[0]
+    if grays is not None:
+        scores_np = np.stack([total_score_for_image(g) for g in grays])
+    else:
+        scores_np = np.random.default_rng(1).random((n, 196), np.float32)
+
+    imgs = jnp.asarray(imgs_np.transpose(0, 3, 1, 2))
+    scores = jnp.asarray(scores_np)
+
+    cfg = MCMConfig(dtype=jnp.bfloat16)
+    model = MCM(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r, "noise": r}, imgs[:1], scores[:1],
+            training=False, compute_loss=False,
+        )
+    )(rng)
+    codec = MCMCodec(model, variables, num_threads=16)
+    codec.update(force=True)
+    perm = PermutationCoder(cfg.num_patches)
+
+    def round_trip():
+        streams, ids_restore = codec.compress(imgs, scores)
+        payloads = [perm.compress(ids_restore[i]) for i in range(n)]
+        ids = np.stack([perm.decompress(p) for p in payloads])
+        x_hat = codec.decompress(streams, ids)
+        jax.block_until_ready(x_hat)
+        bits = [s.num_bits() + len(p) * 8 for s, p in zip(streams, payloads)]
+        return x_hat, float(np.mean(bits) / (224 * 224))
+
+    # warmup / compile
+    x_hat, bpp = round_trip()
+    metrics = compute_metrics(imgs, x_hat)
+    setup_s = time.time() - t_setup
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.time()
+    for _ in range(reps):
+        round_trip()
+    elapsed = time.time() - t0
+    img_per_s = n * reps / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "kodak24_compress_decompress",
+                "value": round(img_per_s, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_s / TARGET_IMG_PER_S, 4),
+                "bpp": round(bpp, 4),
+                "psnr": round(metrics["psnr"], 3),
+                "ms_ssim": round(metrics["ms-ssim"], 5),
+                "backend": jax.default_backend(),
+                "setup_s": round(setup_s, 1),
+                "note": "untrained weights; bpp/psnr are pipeline sanity values, throughput is the benchmark",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

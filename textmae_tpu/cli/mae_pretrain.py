@@ -1,0 +1,122 @@
+"""MAE pretraining CLI (secondary workload).
+
+Parity with /root/reference/models/MAE/main_pretrain.py:38-221: ViT-L/16 MAE,
+AdamW(β2=0.95) with blr*eff_batch/256 scaling, warmup+half-cosine schedule,
+norm_pix loss, periodic checkpoints, NaN abort (engine_pretrain.py:52-54).
+Multi-host DP replaces DDP/submitit: run one process per host with
+jax.distributed (textmae_tpu.parallel.init_distributed); in-process chips are
+covered by the sharded batch.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="MAE pretraining (TPU)")
+    p.add_argument("--data_path", required=True, help="ImageFolder root with train/")
+    p.add_argument("--model", default="mae_vit_large_patch16",
+                   choices=["mae_vit_base_patch16", "mae_vit_large_patch16", "mae_vit_huge_patch14"])
+    p.add_argument("--epochs", type=int, default=800)
+    p.add_argument("--warmup_epochs", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=64, help="per process")
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--mask_ratio", type=float, default=0.75)
+    p.add_argument("--norm_pix_loss", action="store_true")
+    p.add_argument("--blr", type=float, default=1e-3)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=10)
+    p.add_argument("--output_dir", default="./out_pretrain")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--save_every", type=int, default=20)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--print_freq", type=int, default=20)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from textmae_tpu.data.classification import ImageFolderDataset, class_batch_iterator
+    from textmae_tpu.models import mae as mae_models
+    from textmae_tpu.parallel import init_distributed, make_mesh, shard_batch
+    from textmae_tpu.train import MetricLogger, TrainState
+    from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from textmae_tpu.train.logger import ScalarWriter
+    from textmae_tpu.train.mae_engine import make_mae_pretrain_step
+    from textmae_tpu.train.schedules import (
+        mae_pretrain_optimizer,
+        scaled_lr,
+        warmup_half_cosine,
+    )
+
+    init_distributed()
+    seed = args.seed + jax.process_index()
+    dataset = ImageFolderDataset(f"{args.data_path}/train", args.input_size, train=True, seed=seed)
+
+    factory = getattr(mae_models, args.model)
+    model = factory(
+        norm_pix_loss=args.norm_pix_loss,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init({"params": r, "mask": r}, sample, args.mask_ratio)
+    )(rng)
+    params = variables["params"]
+
+    world = jax.process_count()
+    steps_per_epoch = max(len(dataset) // (args.batch_size * world), 1)
+    lr = scaled_lr(args.blr, args.batch_size, args.accum_iter, world)
+    schedule = warmup_half_cosine(
+        lr, args.warmup_epochs, args.epochs, steps_per_epoch, args.min_lr
+    )
+    tx = mae_pretrain_optimizer(params, schedule, args.weight_decay)
+    state = TrainState.create(params, tx)
+    start_epoch = 0
+    if args.resume:
+        state, meta = restore_checkpoint(args.resume, state_template=state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+
+    mesh = make_mesh()
+    step = make_mae_pretrain_step(model, tx, args.mask_ratio)
+    writer = ScalarWriter(args.log_dir if jax.process_index() == 0 else None)
+    step_rng = jax.random.PRNGKey(seed ^ 0xAE)
+
+    print(f"lr={lr:.2e} steps/epoch={steps_per_epoch} world={world}")
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        it = class_batch_iterator(
+            dataset, args.batch_size, seed=args.seed, epoch=epoch,
+            num_threads=args.num_workers,
+            shard_index=jax.process_index(), shard_count=world,
+        )
+        for imgs, _ in logger.log_every(it, args.print_freq, f"Epoch: [{epoch}]"):
+            imgs = shard_batch(jnp.asarray(imgs), mesh)
+            state, metrics = step(state, imgs, step_rng)
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):  # NaN abort (engine_pretrain.py:52-54)
+                raise RuntimeError(f"Loss is {loss}, stopping training")
+            logger.update(loss=loss)
+        writer.add_scalar("train/loss", logger.meters["loss"].global_avg, epoch)
+        writer.flush()
+        if epoch % args.save_every == 0 or epoch == args.epochs - 1:
+            save_checkpoint(args.output_dir, f"checkpoint-{epoch}", state,
+                            {"epoch": epoch, "args": vars(args)})
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""MCM evaluation CLI (real bitstream or entropy estimation).
+
+Flag parity in spirit with /root/reference/testing.py:168-196: dataset dir,
+output dir, checkpoint path(s), --entropy-estimation, --half; emits the JSON
+metrics report to stdout and report.txt (testing.py:242-250).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate MCM on an image dataset (TPU).")
+    p.add_argument("-d", "--dataset", type=str, required=True, help="test image directory")
+    p.add_argument("-o", "--output_path", type=str, default="reconstruction")
+    p.add_argument("-p", "--path", dest="paths", type=str, nargs="*", default=[None],
+                   help="checkpoint path(s); omit to evaluate a fresh model")
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
+    p.add_argument("--save-recon", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from textmae_tpu.data import ImageScoreDataset
+    from textmae_tpu.eval import MCMCodec, eval_model
+    from textmae_tpu.eval.harness import write_report
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+    from textmae_tpu.train import TrainState, configure_optimizers
+    from textmae_tpu.train.checkpoint import restore_checkpoint
+
+    dataset = ImageScoreDataset(args.dataset, "test", img_size=args.input_size)
+
+    cfg = MCMConfig(
+        img_size=args.input_size,
+        num_keep_patches=args.num_keep_patches,
+        dtype=jnp.bfloat16 if args.half else jnp.float32,
+    )
+    model = MCM(cfg)
+
+    all_results = {}
+    for ckpt in args.paths:
+        rng = jax.random.PRNGKey(0)
+        sample = jnp.zeros((1, 3, args.input_size, args.input_size), jnp.float32)
+        sscore = jnp.zeros((1, cfg.num_patches), jnp.float32)
+        variables = jax.jit(
+            lambda r: model.init(
+                {"params": r, "noise": r}, sample, sscore,
+                training=False, compute_loss=False,
+            )
+        )(rng)
+        if ckpt:
+            tx = configure_optimizers(variables["params"])
+            template = TrainState.create(variables["params"], tx)
+            state, _ = restore_checkpoint(ckpt, state_template=template)
+            variables = {"params": state.params}
+            name = Path(ckpt).name
+        else:
+            name = "untrained"
+
+        if args.entropy_estimation:
+            results = eval_model(
+                model, dataset, entropy_estimation=True, variables=variables,
+                batch_size=args.batch_size, verbose=args.verbose,
+                output_dir=args.output_path if args.save_recon else None,
+            )
+        else:
+            codec = MCMCodec(model, variables)
+            codec.update(force=True)
+            results = eval_model(
+                codec, dataset, batch_size=args.batch_size, verbose=args.verbose,
+                output_dir=args.output_path if args.save_recon else None,
+            )
+        all_results[name] = results
+
+    desc = "entropy estimation" if args.entropy_estimation else "Inference (rans)"
+    report = write_report(all_results, Path(args.output_path + "_report.txt")
+                          if not Path(args.output_path).is_dir()
+                          else Path(args.output_path) / "report.txt", desc)
+    json.dump(report, sys.stdout, indent=2)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""MCM training CLI.
+
+Flag-compatible in spirit with /root/reference/training.py:26-100 (same names
+where meaningful). Differences by design (SURVEY.md §7):
+  * the epoch loop advances by 1 (the reference's `range(start, epochs, 5)` at
+    training.py:188 skips 4 of every 5 epochs — a quirk, not replicated),
+  * the pretrained MAE checkpoint actually loads (the reference's
+    load_state_dict is commented out, training.py:175),
+  * AMP loss scaling is unnecessary: TPU trains in bf16 compute without a
+    scaler (the reference's NativeScaler is created but unused anyway,
+    utils/engine.py).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the MCM compression model (TPU).")
+    p.add_argument("-d", "--dataset", type=str, required=True, help="dataset root (train/ + val/)")
+    p.add_argument("-e", "--epochs", type=int, default=1000)
+    p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("--aux-learning-rate", type=float, default=1e-3)
+    p.add_argument("--lmbda", type=float, default=1e-4, help="R-D tradeoff (distortion weight)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--val-batch-size", type=int, default=32)
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--accum-iter", type=int, default=1)
+    p.add_argument("--clip-grad", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--output-dir", type=str, default="./out")
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--mae-checkpoint", type=str, default=None,
+                   help="pretrained torch MAE checkpoint to import")
+    p.add_argument("--no-vgg", action="store_true", help="disable the VGG perceptual term")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 transformer compute")
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--save-every", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from textmae_tpu.data import ImageScoreDataset, batch_iterator
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+    from textmae_tpu.parallel import make_mesh, shard_batch
+    from textmae_tpu.train import (
+        MetricLogger,
+        TrainState,
+        configure_optimizers,
+        make_eval_step,
+        make_train_step,
+    )
+    from textmae_tpu.train.checkpoint import (
+        BestTracker,
+        load_mae_pretrained,
+        restore_checkpoint,
+    )
+    from textmae_tpu.train.logger import ScalarWriter
+
+    seed = args.seed + jax.process_index()  # per-host seed (training.py:109)
+    train_ds = ImageScoreDataset(args.dataset, "train", img_size=args.input_size)
+    val_ds = ImageScoreDataset(args.dataset, "val", img_size=args.input_size)
+
+    cfg = MCMConfig(
+        img_size=args.input_size,
+        num_keep_patches=args.num_keep_patches,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    model = MCM(cfg)
+    rng = jax.random.PRNGKey(seed)
+    sample_imgs = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
+    sample_scores = jnp.zeros((2, cfg.num_patches), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r, "noise": r}, sample_imgs, sample_scores,
+            training=False, compute_loss=False,
+        )
+    )(rng)
+    params = variables["params"]
+
+    if args.mae_checkpoint:
+        params = load_mae_pretrained(params, args.mae_checkpoint)
+        print(f"loaded MAE checkpoint {args.mae_checkpoint}")
+
+    vgg_variables = None
+    if not args.no_vgg:
+        from textmae_tpu.losses.vgg import load_vgg_variables
+
+        vgg_variables = load_vgg_variables()
+
+    tx = configure_optimizers(
+        params,
+        learning_rate=args.learning_rate,
+        aux_learning_rate=args.aux_learning_rate,
+        clip_grad=args.clip_grad,
+        grad_accum=args.accum_iter,
+    )
+    state = TrainState.create(params, tx)
+    start_epoch = 0
+    if args.resume:
+        state, meta = restore_checkpoint(args.resume, state_template=state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    mesh = make_mesh()
+    train_step = make_train_step(model, tx, lmbda=args.lmbda, vgg_variables=vgg_variables)
+    eval_step = make_eval_step(model, lmbda=args.lmbda, vgg_variables=vgg_variables)
+
+    writer = ScalarWriter(args.log_dir) if jax.process_index() == 0 else ScalarWriter(None)
+    tracker = BestTracker(args.output_dir)
+    step_rng = jax.random.PRNGKey(seed ^ 0x5EED)
+
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        header = f"Epoch: [{epoch}]"
+        it = batch_iterator(
+            train_ds, args.batch_size, shuffle=True, seed=seed, epoch=epoch,
+            drop_last=True, num_threads=args.num_workers, channels_first=True,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
+        )
+        for imgs, scores in logger.log_every(it, args.print_freq, header):
+            batch = shard_batch(
+                {"imgs": imgs, "scores": scores}, mesh
+            )
+            state, metrics = train_step(state, batch, step_rng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        for k, meter in logger.meters.items():
+            writer.add_scalar(f"train/{k}", meter.global_avg, epoch)
+
+        # validation
+        vlogger = MetricLogger()
+        vit = batch_iterator(
+            val_ds, args.val_batch_size, channels_first=True,
+            num_threads=args.num_workers,
+        )
+        for imgs, scores in vit:
+            metrics = eval_step(state.params, {"imgs": jnp.asarray(imgs), "scores": jnp.asarray(scores)})
+            vlogger.update(**{k: float(v) for k, v in metrics.items()})
+        val_loss = vlogger.meters["loss"].global_avg
+        for k, meter in vlogger.meters.items():
+            writer.add_scalar(f"val/{k}", meter.global_avg, epoch)
+        print(f"{header} val loss {val_loss:.6f}")
+
+        if epoch % args.save_every == 0 or epoch == args.epochs - 1:
+            is_best = tracker.save(state, {"args": vars(args)}, epoch, val_loss)
+            if is_best:
+                print(f"{header} new best ({val_loss:.6f})")
+        writer.flush()
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,30 @@ def normalize_batch(batch: jnp.ndarray) -> jnp.ndarray:
     return (batch / 255.0 - mean) / std
 
 
+def load_vgg_variables(weights_path: str | None = None, img_size: int = 224):
+    """Init VGG16Features params once; import torchvision weights when given.
+
+    weights_path: a torch state dict of torchvision vgg16 (or its `features`
+    submodule). Defaults to $TEXTMAE_VGG16_WEIGHTS. Without weights the loss
+    uses the random-init network (a fixed random projection — still a usable
+    perceptual surrogate; document in training logs).
+    """
+    import os
+
+    import jax
+
+    vgg = VGG16Features()
+    variables = jax.jit(
+        lambda r: vgg.init(r, jnp.zeros((1, 3, img_size, img_size), jnp.float32))
+    )(jax.random.PRNGKey(0))
+    weights_path = weights_path or os.environ.get("TEXTMAE_VGG16_WEIGHTS")
+    if weights_path:
+        from textmae_tpu.train.checkpoint import convert_vgg16_state_dict
+
+        variables = {"params": convert_vgg16_state_dict(weights_path, variables["params"])}
+    return variables
+
+
 def vgg_feature_loss(
     vgg: VGG16Features, vgg_params, preds: jnp.ndarray, imgs: jnp.ndarray
 ) -> jnp.ndarray:
