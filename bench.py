@@ -54,6 +54,14 @@ def load_images(img_size=224):
 def main():
     t_setup = time.time()
     import jax
+
+    # persistent compile cache: repeat bench runs skip the ~4 min of XLA compiles
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from textmae_tpu.data.score_maps import total_score_for_image

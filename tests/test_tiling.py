@@ -1,0 +1,50 @@
+"""Tiled full-resolution eval tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from textmae_tpu.eval.tiling import inference_tiled, tile_image, untile_image
+from textmae_tpu.eval import MCMCodec
+from textmae_tpu.models.mcm import MCM, MCMConfig
+
+TINY = MCMConfig(
+    img_size=96,
+    encoder_embed_dim=32,
+    encoder_depth=2,
+    encoder_num_heads=2,
+    decoder_embed_dim=16,
+    decoder_depth=1,
+    decoder_num_heads=2,
+    latent_depth=24,
+    hyperprior_depth=16,
+    num_slices=4,
+    num_keep_patches=16,
+    use_pallas=False,
+)
+
+
+def test_tile_untile_roundtrip(rng):
+    for h, w in [(224, 224), (300, 500), (96, 96), (100, 97)]:
+        img = rng.random((h, w, 3)).astype(np.float32)
+        tiles, meta = tile_image(img, 96)
+        assert tiles.shape[1:] == (96, 96, 3)
+        np.testing.assert_array_equal(untile_image(tiles, meta), img)
+
+
+def test_inference_tiled(rng):
+    model = MCM(TINY)
+    key = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(rng.random((1, 3, 96, 96), np.float32))
+    scores = jnp.asarray(rng.random((1, TINY.num_patches), np.float32))
+    variables = model.init(
+        {"params": key, "noise": key}, imgs, scores, training=False, compute_loss=False
+    )
+    codec = MCMCodec(model, variables)
+    codec.update()
+    img = rng.random((150, 200, 3)).astype(np.float32)
+    res = inference_tiled(codec, img, tile=96)
+    assert res["num_tiles"] == 2 * 3
+    assert res["x_hat"].shape == (150, 200, 3)
+    assert res["bpp"] > 0
+    assert np.isfinite(res["psnr"])

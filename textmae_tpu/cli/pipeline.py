@@ -1,0 +1,138 @@
+"""Full three-stage pipeline CLI: caption -> compress/decompress -> refine.
+
+The reference exposes the stages as classes the user composes manually
+(README demo; SURVEY.md §0, §3.5). This CLI wires them end to end:
+
+  1. BLIP-2 caption (optional; requires transformers weights)
+  2. MCM compress -> bitstream -> decompress
+  3. SDXL img2img refinement conditioned on the caption (optional; diffusers)
+
+Stages 1/3 degrade gracefully when their model weights are unavailable
+(zero-egress environments): the pipeline then reports compression-only
+results, which matches the reference's trained/evaluated artifact.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TextMAE 3-stage pipeline (TPU)")
+    p.add_argument("-i", "--image", required=True, help="input image path")
+    p.add_argument("-o", "--output", default="pipeline_out", help="output dir")
+    p.add_argument("-p", "--checkpoint", default=None, help="MCM checkpoint")
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--no-caption", action="store_true")
+    p.add_argument("--no-refine", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from textmae_tpu.coding.permutation import PermutationCoder
+    from textmae_tpu.data.score_maps import total_score_for_image
+    from textmae_tpu.eval import MCMCodec, compute_metrics
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    with Image.open(args.image) as im:
+        pil = im.convert("RGB")
+        orig_size = pil.size
+    gray = cv2.imread(args.image, cv2.IMREAD_GRAYSCALE)
+    score = total_score_for_image(gray)
+
+    # ---- stage 1: caption --------------------------------------------------
+    caption = None
+    if not args.no_caption:
+        try:
+            from textmae_tpu.models.blip import Blip2
+
+            blip = Blip2.prepare_model()
+            caption = blip.generate_caption(pil)
+            print(f"caption: {caption!r}")
+        except Exception as e:
+            print(f"[stage 1 skipped] {e}")
+
+    # ---- stage 2: compression ---------------------------------------------
+    cfg = MCMConfig(
+        img_size=args.input_size, num_keep_patches=args.num_keep_patches,
+        dtype=jnp.bfloat16,
+    )
+    model = MCM(cfg)
+    resized = pil.resize((cfg.img_size, cfg.img_size), Image.BICUBIC)
+    imgs = jnp.asarray(
+        (np.asarray(resized, np.float32) / 255.0).transpose(2, 0, 1)[None]
+    )
+    scores = jnp.asarray(score[None])
+
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r, "noise": r}, imgs, scores, training=False, compute_loss=False
+        )
+    )(rng)
+    if args.checkpoint:
+        from textmae_tpu.train import TrainState, configure_optimizers
+        from textmae_tpu.train.checkpoint import restore_checkpoint
+
+        tx = configure_optimizers(variables["params"])
+        template = TrainState.create(variables["params"], tx)
+        state, _ = restore_checkpoint(args.checkpoint, state_template=template)
+        variables = {"params": state.params}
+
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    streams, ids_restore = codec.compress(imgs, scores)
+    perm = PermutationCoder(cfg.num_patches)
+    side = perm.compress(ids_restore[0])
+    ids = perm.decompress(side)[None]
+    x_hat = codec.decompress(streams, ids)
+    num_pixels = cfg.img_size * cfg.img_size
+    bpp = (streams[0].num_bits() + len(side) * 8) / num_pixels
+    metrics = compute_metrics(imgs, x_hat)
+
+    recon = np.clip(np.asarray(x_hat[0]).transpose(1, 2, 0), 0, 1)
+    recon_img = Image.fromarray((recon * 255).round().astype(np.uint8)).resize(
+        orig_size, Image.BICUBIC
+    )
+    recon_path = out_dir / "reconstruction.png"
+    recon_img.save(recon_path)
+
+    # ---- stage 3: refinement ----------------------------------------------
+    refined_path = None
+    if not args.no_refine:
+        try:
+            from textmae_tpu.models.diffusion import Diffuser
+
+            diffuser = Diffuser.prepare_model()
+            refined = diffuser.refine_image(caption or "a photo", recon_img)
+            refined_path = out_dir / "refined.png"
+            refined.save(refined_path)
+        except Exception as e:
+            print(f"[stage 3 skipped] {e}")
+
+    report = {
+        "caption": caption,
+        "bpp": round(bpp, 5),
+        **{k: round(v, 4) for k, v in metrics.items()},
+        "reconstruction": str(recon_path),
+        "refined": str(refined_path) if refined_path else None,
+    }
+    (out_dir / "report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", type=str, default="./out")
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest checkpoint in --output-dir "
+                        "(elastic-recovery analog of the reference's submitit "
+                        "requeue hook, submitit_pretrain.py:61-71)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the first training steps")
     p.add_argument("--mae-checkpoint", type=str, default=None,
                    help="pretrained torch MAE checkpoint to import")
     p.add_argument("--no-vgg", action="store_true", help="disable the VGG perceptual term")
@@ -67,7 +73,9 @@ def main(argv=None):
         restore_checkpoint,
     )
     from textmae_tpu.train.logger import ScalarWriter
+    from textmae_tpu.utils import enable_compile_cache, profile_trace
 
+    enable_compile_cache()
     seed = args.seed + jax.process_index()  # per-host seed (training.py:109)
     train_ds = ImageScoreDataset(args.dataset, "train", img_size=args.input_size)
     val_ds = ImageScoreDataset(args.dataset, "val", img_size=args.input_size)
@@ -108,10 +116,19 @@ def main(argv=None):
     )
     state = TrainState.create(params, tx)
     start_epoch = 0
-    if args.resume:
-        state, meta = restore_checkpoint(args.resume, state_template=state)
+    resume_path = args.resume
+    if resume_path is None and args.auto_resume:
+        from pathlib import Path as _P
+
+        ckpts = sorted(
+            _P(args.output_dir).glob("checkpoint_epoch*"),
+            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
+        )
+        resume_path = str(ckpts[-1]) if ckpts else None
+    if resume_path:
+        state, meta = restore_checkpoint(resume_path, state_template=state)
         start_epoch = int(meta.get("epoch", -1)) + 1
-        print(f"resumed from {args.resume} at epoch {start_epoch}")
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
 
     mesh = make_mesh()
     train_step = make_train_step(model, tx, lmbda=args.lmbda, vgg_variables=vgg_variables)
@@ -129,12 +146,25 @@ def main(argv=None):
             drop_last=True, num_threads=args.num_workers, channels_first=True,
             shard_index=jax.process_index(), shard_count=jax.process_count(),
         )
-        for imgs, scores in logger.log_every(it, args.print_freq, header):
-            batch = shard_batch(
-                {"imgs": imgs, "scores": scores}, mesh
-            )
-            state, metrics = train_step(state, batch, step_rng)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+        profiling = profile_trace(args.profile_dir if epoch == start_epoch else None)
+        with profiling:
+            # metrics stay device-side; sync only at print frequency so the
+            # step pipeline never blocks on the host (the reference syncs
+            # every iteration, utils/engine.py:93-100)
+            it_count = 0
+            for imgs, scores in logger.log_every(it, args.print_freq, header):
+                batch = shard_batch(
+                    {"imgs": imgs, "scores": scores}, mesh
+                )
+                state, metrics = train_step(state, batch, step_rng)
+                if it_count % args.print_freq == 0:
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(vals["loss"]):  # NaN abort
+                        raise RuntimeError(
+                            f"Loss is {vals['loss']}, stopping training"
+                        )
+                    logger.update(**vals)
+                it_count += 1
         for k, meter in logger.meters.items():
             writer.add_scalar(f"train/{k}", meter.global_avg, epoch)
 

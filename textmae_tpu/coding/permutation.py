@@ -51,15 +51,13 @@ class PermutationCoder:
         self._cdfs, self._lengths, self._offsets = _uniform_tables(length)
 
     def _lehmer(self, perm: np.ndarray) -> np.ndarray:
-        """perm -> digits d_i in [0, L-i): rank among remaining symbols."""
-        n = self.length
-        remaining = list(range(n))
-        digits = np.empty(n, np.int32)
-        for i, v in enumerate(perm):
-            idx = remaining.index(int(v))
-            digits[i] = idx
-            remaining.pop(idx)
-        return digits
+        """perm -> digits d_i in [0, L-i): rank among remaining symbols.
+
+        d_i = perm[i] - |{j < i : perm[j] < perm[i]}|, vectorized O(L^2) bools.
+        """
+        lt = perm[None, :] < perm[:, None]  # lt[i, j] = perm[j] < perm[i]
+        used_smaller = np.tril(lt, -1).sum(axis=1)
+        return (perm - used_smaller).astype(np.int32)
 
     def _unlehmer(self, digits: np.ndarray) -> np.ndarray:
         remaining = list(range(self.length))

@@ -79,19 +79,34 @@ class MCMCodec:
                 v, z_sym.astype(jnp.float32) + med, method=MCM.decode_hyper
             )
         )
-        self._slice_params = jax.jit(
-            lambda v, buf, m, s, i: model.apply(
-                v, buf, m, s, i, st, method=MCM.decode_slice_params
-            )
-        )
+        def _sp(v, buf, m, s, i):
+            mu, index, ms = model.apply(v, buf, m, s, i, st, method=MCM.decode_slice_params)
+            # 64 table scales -> uint8 indexes: 4x less host<->device traffic
+            return mu, index.astype(jnp.uint8), ms
+
+        self._slice_params = jax.jit(_sp)
         self._quantize_slice = jax.jit(
+            # int16 symbols: halves the transfer; |round(y-mu)| >= 2^15 would
+            # mean a diverged model, checked host-side in compress()
             lambda v, y, mu, i: model.apply(v, y, mu, i, method=MCM.quantize_slice)
+            .astype(jnp.int16)
         )
+        # both compress and decompress feed int16 symbols -> one compiled
+        # program, keeping buf bit-identical across the two directions
         self._slice_update = jax.jit(
             lambda v, buf, ms, mu, sym, i: model.apply(
                 v, buf, ms, mu, sym, i, method=MCM.decode_slice_update
             )
         )
+
+        def _step(v, buf, ms, mu, sym, lm, ls, pi, ni):
+            buf, y_hat_prev, mu2, index2, ms2 = model.apply(
+                v, buf, ms, mu, sym, lm, ls, pi, ni, st,
+                method=MCM.decode_slice_step,
+            )
+            return buf, y_hat_prev, mu2, index2.astype(jnp.uint8), ms2
+
+        self._slice_step = jax.jit(_step)
         self._finish = jax.jit(
             lambda v, y_hat, ids: model.apply(v, y_hat, ids, method=MCM.decode_finish)
         )
@@ -118,21 +133,26 @@ class MCMCodec:
     def _run_slice_chain(self, y, latent_means, latent_scales):
         """Device-side conditional chain via the shared per-slice programs.
 
-        Returns stacked (symbols, indexes): (S, N, h, w, g) int32 each.
+        Returns stacked (symbols (S,N,h,w,g) int16, indexes (...) uint8).
+        All dispatches are async; the only host sync is the caller's transfer.
         """
         cfg = self.cfg
         n, h, w, _ = y.shape
+        v = self.variables
         buf = jnp.zeros((n, h, w, cfg.group_ch * cfg.max_support), jnp.float32)
         syms, idxs = [], []
-        for si in range(cfg.num_slices):
-            i = jnp.int32(si)
-            mu, index, mean_support = self._slice_params(
-                self.variables, buf, latent_means, latent_scales, i
+        mu, index, ms = self._slice_params(
+            v, buf, latent_means, latent_scales, jnp.int32(0)
+        )
+        sym = self._quantize_slice(v, y, mu, jnp.int32(0))
+        syms.append(sym)
+        idxs.append(index)
+        for si in range(1, cfg.num_slices):
+            buf, _, mu, index, ms = self._slice_step(
+                v, buf, ms, mu, sym, latent_means, latent_scales,
+                jnp.int32(si - 1), jnp.int32(si),
             )
-            sym = self._quantize_slice(self.variables, y, mu, i)
-            buf, _ = self._slice_update(
-                self.variables, buf, mean_support, mu, sym, i
-            )
+            sym = self._quantize_slice(v, y, mu, jnp.int32(si))
             syms.append(sym)
             idxs.append(index)
         return jnp.stack(syms), jnp.stack(idxs)
@@ -212,23 +232,34 @@ class MCMCodec:
             d.set_stream(s.y_string)
             decs.append(d)
 
+        v = self.variables
         buf = jnp.zeros((n, grid, grid, g * cfg.max_support), jnp.float32)
         y_slices = []
-        for si in range(cfg.num_slices):
-            i = jnp.int32(si)
-            mu, index, mean_support = self._slice_params(
-                self.variables, buf, latent_means, latent_scales, i
-            )
+
+        def host_decode(index) -> jnp.ndarray:
             index_np = np.asarray(index)
-            sym = np.empty((n, grid, grid, g), np.int32)
+            sym = np.empty((n, grid, grid, g), np.int16)
             for j, d in enumerate(decs):
                 sym[j] = d.decode_stream(
                     index_np[j], gt.quantized_cdf, gt.cdf_length, gt.offset
                 ).reshape(grid, grid, g)
-            buf, y_hat_slice = self._slice_update(
-                self.variables, buf, mean_support, mu, jnp.asarray(sym), i
+            return jnp.asarray(sym)
+
+        mu, index, ms = self._slice_params(
+            v, buf, latent_means, latent_scales, jnp.int32(0)
+        )
+        sym = host_decode(index)
+        for si in range(1, cfg.num_slices):
+            buf, y_hat_prev, mu, index, ms = self._slice_step(
+                v, buf, ms, mu, sym, latent_means, latent_scales,
+                jnp.int32(si - 1), jnp.int32(si),
             )
-            y_slices.append(y_hat_slice)
+            y_slices.append(y_hat_prev)
+            sym = host_decode(index)
+        buf, y_hat_last = self._slice_update(
+            v, buf, ms, mu, sym, jnp.int32(cfg.num_slices - 1)
+        )
+        y_slices.append(y_hat_last)
 
         y_hat = jnp.concatenate(y_slices, axis=-1)
-        return self._finish(self.variables, y_hat, jnp.asarray(ids_restore))
+        return self._finish(v, y_hat, jnp.asarray(ids_restore))

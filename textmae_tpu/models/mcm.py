@@ -570,6 +570,29 @@ class MCM(nn.Module):
         )
         return buf, y_hat
 
+    def decode_slice_step(
+        self,
+        buf: jnp.ndarray,
+        mean_support_prev: jnp.ndarray,
+        mu_prev: jnp.ndarray,
+        sym_prev: jnp.ndarray,
+        latent_means: jnp.ndarray,
+        latent_scales: jnp.ndarray,
+        prev_index,
+        next_index,
+        scale_table: jnp.ndarray,
+    ):
+        """Fused: finish slice `prev_index` (buf update) + params for
+        `next_index`. One dispatch instead of two in the decode alternation;
+        compress shares this exact program so buf stays bit-identical."""
+        buf, y_hat_prev = self.decode_slice_update(
+            buf, mean_support_prev, mu_prev, sym_prev, prev_index
+        )
+        mu, index, mean_support = self.decode_slice_params(
+            buf, latent_means, latent_scales, next_index, scale_table
+        )
+        return buf, y_hat_prev, mu, index, mean_support
+
     def decode_finish(self, y_hat: jnp.ndarray, ids_restore: jnp.ndarray) -> jnp.ndarray:
         """All decoded slices -> reconstructed image (MCM.py:954-968)."""
         cfg = self.config

@@ -203,6 +203,132 @@ def merge_pretrained(params: Dict, pretrained: Dict, strict_shapes: bool = True)
     return params
 
 
+def _conv_oihw(w: np.ndarray) -> np.ndarray:
+    return w.transpose(2, 3, 1, 0)  # torch OIHW -> flax HWIO
+
+
+def mcm_torch_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
+    """Full torch-MCM state dict -> textmae_tpu MCM flax params.
+
+    The `MCM.from_state_dict` interop path (reference MCM.py:448): lets a
+    torch-trained reference checkpoint drive this framework for R-D parity
+    checks. Covers the transformer stacks, g_a/g_s (ConvTranspose 1x1 == conv
+    with transposed IO), h_a, h_s (subpel convs keep torch PixelShuffle
+    channel order), the 12 per-slice cc/lrp nets restacked into
+    StackedSliceNet rows (layer-0 kernels zero-padded to the uniform support
+    width), and compressai's EntropyBottleneck (_matrix/_bias/_factor i,
+    quantiles). Fixed sincos pos-embeds and gaussian_conditional buffers are
+    regenerated, not imported.
+    """
+    out = mae_torch_to_flax(
+        {
+            k.replace("encoder_blocks.", "blocks.")
+            .replace("encoder_embed.", "patch_embed.")
+            .replace("encoder_norm.", "norm."): v
+            for k, v in sd.items()
+            if not k.startswith(("g_a", "g_s", "h_a", "h_s", "cc_", "lrp_", "entropy", "gaussian"))
+        }
+    )
+    # mae_torch_to_flax emitted patch_embed under "encoder_embed" name already
+    g = config.group_ch
+    m = config.max_support
+    latent = config.latent_depth
+
+    # --- g_a (Conv2d 1x1) / g_s (ConvTranspose2d 1x1) ---
+    for name, transpose_io in (("g_a", False), ("g_s", True)):
+        tree = {}
+        idxs = sorted(
+            int(mm.group(1)) for k in sd
+            if (mm := re.match(rf"{name}\.(\d+)\.weight$", k))
+        )
+        for j, ti in enumerate(idxs):
+            w = sd[f"{name}.{ti}.weight"]
+            # Conv2d: (O, I, 1, 1); ConvTranspose2d: (I, O, 1, 1)
+            kern = w.transpose(2, 3, 0, 1) if transpose_io else _conv_oihw(w)
+            tree[f"conv_{j}"] = {"kernel": kern, "bias": sd[f"{name}.{ti}.bias"]}
+        if tree:
+            out[name] = tree
+
+    # --- h_a ---
+    ha_idxs = sorted(
+        int(mm.group(1)) for k in sd if (mm := re.match(r"h_a\.(\d+)\.weight$", k))
+    )
+    for j, ti in enumerate(ha_idxs):
+        out[f"h_a_{j}"] = {
+            "conv": {
+                "kernel": _conv_oihw(sd[f"h_a.{ti}.weight"]),
+                "bias": sd[f"h_a.{ti}.bias"],
+            }
+        }
+
+    # --- h_s mean / scale: conv at 0,4,8; subpel (Sequential .0) at 2,6 ---
+    for prefix in ("h_s_mean", "h_s_scale"):
+        for j, ti in enumerate((0, 2, 4, 6, 8)):
+            key = f"{prefix}.{ti}.0.weight" if ti in (2, 6) else f"{prefix}.{ti}.weight"
+            if key not in sd:
+                continue
+            bkey = key.replace("weight", "bias")
+            out[f"{prefix}_{j}"] = {
+                "conv": {"kernel": _conv_oihw(sd[key]), "bias": sd[bkey]}
+            }
+
+    # --- cc / lrp slice nets -> stacked rows ---
+    for name in ("cc_transform_mean", "cc_transform_scale", "lrp_transform"):
+        if f"{name}.0.0.weight" not in sd:
+            continue
+        num_slices = config.num_slices
+        layer_idxs = sorted(
+            int(mm.group(1)) for k in sd
+            if (mm := re.match(rf"{name}\.0\.(\d+)\.weight$", k))
+        )
+        base_in = latent + g * (m + (1 if name == "lrp_transform" else 0))
+        tree = {}
+        for j, ti in enumerate(layer_idxs):
+            kernels, biases = [], []
+            for i in range(num_slices):
+                w = _conv_oihw(sd[f"{name}.{i}.{ti}.weight"])  # (3,3,in_i,out)
+                b = sd[f"{name}.{i}.{ti}.bias"]
+                if j == 0 and w.shape[2] < base_in:
+                    # reference layer-0 input width latent + g*min(i, m) [+g];
+                    # embed into the uniform width, zero for absent channels.
+                    # Channel order is [latent | slice0..slice5 (| y_hat)]:
+                    # the lrp y_hat block sits at the END in our layout, so
+                    # move it there when present.
+                    pad = np.zeros(
+                        (w.shape[0], w.shape[1], base_in, w.shape[3]), w.dtype
+                    )
+                    if name == "lrp_transform":
+                        supp = w.shape[2] - latent - g  # g * min(i, m)
+                        pad[:, :, : latent + supp] = w[:, :, : latent + supp]
+                        pad[:, :, latent + g * m :] = w[:, :, latent + supp :]
+                    else:
+                        pad[:, :, : w.shape[2]] = w
+                    w = pad
+                kernels.append(w)
+                biases.append(b)
+            tree[f"kernel_{j}"] = np.stack(kernels)
+            tree[f"bias_{j}"] = np.stack(biases)
+        out[name] = tree
+
+    # --- entropy bottleneck ---
+    eb = {}
+    for k, v in sd.items():
+        mm = re.match(r"entropy_bottleneck\._(matrix|bias|factor)(\d+)$", k)
+        if mm:
+            eb[f"{mm.group(1)}_{mm.group(2)}"] = v
+    if "entropy_bottleneck.quantiles" in sd:
+        eb["quantiles"] = sd["entropy_bottleneck.quantiles"]
+    if eb:
+        out["entropy_bottleneck"] = eb
+    return out
+
+
+def load_mcm_torch_checkpoint(params: Dict, path: os.PathLike, config) -> Dict:
+    """Reference-trained MCM torch checkpoint -> merged flax params."""
+    sd = _load_torch_state_dict(path)
+    return merge_pretrained(params, mcm_torch_to_flax(sd, config), strict_shapes=True)
+
+
 def convert_vgg16_state_dict(path: os.PathLike, params: Dict) -> Dict:
     """torchvision vgg16 state dict -> VGG16Features flax params.
 
