@@ -107,9 +107,41 @@ class MCMCodec:
             return buf, y_hat_prev, mu2, index2.astype(jnp.uint8), ms2
 
         self._slice_step = jax.jit(_step)
+
+        def _tail_params(v, buf, lm, ls):
+            mu, index, ms = model.apply(
+                v, buf, lm, ls, st, method=MCM.decode_tail_params
+            )
+            return mu, index.astype(jnp.uint8), ms
+
+        self._tail_params = jax.jit(_tail_params)
+        self._tail_update = jax.jit(
+            lambda v, ms, mu, sym: model.apply(
+                v, ms, mu, sym, method=MCM.decode_tail_update
+            )
+        )
+        self._quantize_tail = jax.jit(
+            lambda v, y, mu: model.apply(v, y, mu, method=MCM.quantize_tail)
+            .astype(jnp.int16)
+        )
         self._finish = jax.jit(
             lambda v, y_hat, ids: model.apply(v, y_hat, ids, method=MCM.decode_finish)
         )
+
+        def _pack(syms, idxs, z_sym, ids_restore):
+            # single D2H buffer: [int16 payload as bytes | uint8 indexes] —
+            # each separate host transfer costs a full tunnel RTT (~40ms)
+            i16 = jnp.concatenate(
+                [
+                    syms.reshape(-1),
+                    z_sym.astype(jnp.int16).reshape(-1),
+                    ids_restore.astype(jnp.int16).reshape(-1),
+                ]
+            )
+            b = jax.lax.bitcast_convert_type(i16, jnp.uint8).reshape(-1)
+            return jnp.concatenate([b, idxs.reshape(-1)])
+
+        self._pack = jax.jit(_pack)
 
     # ------------------------------------------------------------------
     def update(self, force: bool = False) -> None:
@@ -139,15 +171,17 @@ class MCMCodec:
         cfg = self.cfg
         n, h, w, _ = y.shape
         v = self.variables
-        buf = jnp.zeros((n, h, w, cfg.group_ch * cfg.max_support), jnp.float32)
+        head = cfg.max_support
+        buf = jnp.zeros((n, h, w, cfg.group_ch * head), jnp.float32)
         syms, idxs = [], []
+        # head: sequential context chain (slices 0..max_support-1)
         mu, index, ms = self._slice_params(
             v, buf, latent_means, latent_scales, jnp.int32(0)
         )
         sym = self._quantize_slice(v, y, mu, jnp.int32(0))
         syms.append(sym)
         idxs.append(index)
-        for si in range(1, cfg.num_slices):
+        for si in range(1, head):
             buf, _, mu, index, ms = self._slice_step(
                 v, buf, ms, mu, sym, latent_means, latent_scales,
                 jnp.int32(si - 1), jnp.int32(si),
@@ -155,23 +189,44 @@ class MCMCodec:
             sym = self._quantize_slice(v, y, mu, jnp.int32(si))
             syms.append(sym)
             idxs.append(index)
-        return jnp.stack(syms), jnp.stack(idxs)
+        buf, _ = self._slice_update(v, buf, ms, mu, sym, jnp.int32(head - 1))
+        # tail: all remaining slices in one dispatch (buf is frozen now)
+        mu_t, index_t, _ = self._tail_params(v, buf, latent_means, latent_scales)
+        sym_t = self._quantize_tail(v, y, mu_t)
+        symbols = jnp.concatenate([jnp.stack(syms), sym_t])
+        indexes = jnp.concatenate([jnp.stack(idxs), index_t])
+        return symbols, indexes
 
     def compress(
         self, imgs: jnp.ndarray, total_scores: jnp.ndarray
     ) -> Tuple[List[CompressedImage], np.ndarray]:
         """(N,C,H,W) images -> (per-image bitstreams, ids_restore (N, L))."""
         self._require_tables()
+        cfg = self.cfg
         front = self._front(self.variables, imgs, total_scores)
         z_sym_d = front["z_sym"]
         latent_means, latent_scales = self._hyper(self.variables, z_sym_d)
         syms_d, idxs_d = self._run_slice_chain(front["y"], latent_means, latent_scales)
 
-        symbols = np.asarray(syms_d)  # (S, N, h, w, g)
-        indexes = np.asarray(idxs_d)
-        z_sym = np.asarray(z_sym_d)  # (N, hz, wz, Cz)
-        ids_restore = np.asarray(front["ids_restore"])
-        n = z_sym.shape[0]
+        n = imgs.shape[0]
+        grid = cfg.keep_grid
+        hz, wz = self._z_shape()
+        sym_shape = (cfg.num_slices, n, grid, grid, cfg.group_ch)
+        z_shape_full = (n, hz, wz, cfg.hyperprior_depth)
+        n_sym = int(np.prod(sym_shape))
+        n_z = int(np.prod(z_shape_full))
+        n_ids = n * cfg.num_patches
+
+        packed = np.asarray(
+            self._pack(syms_d, idxs_d, z_sym_d, front["ids_restore"])
+        )
+        i16 = packed[: 2 * (n_sym + n_z + n_ids)].view(np.int16)
+        symbols = i16[:n_sym].reshape(sym_shape)
+        z_sym = i16[n_sym : n_sym + n_z].reshape(z_shape_full).astype(np.int32)
+        ids_restore = (
+            i16[n_sym + n_z :].reshape(n, cfg.num_patches).astype(np.int64)
+        )
+        indexes = packed[2 * (n_sym + n_z + n_ids) :].reshape(sym_shape)
 
         gt, et = self.gauss_tables, self.eb_tables
         cz = z_sym.shape[-1]
@@ -245,11 +300,13 @@ class MCMCodec:
                 ).reshape(grid, grid, g)
             return jnp.asarray(sym)
 
+        head = cfg.max_support
+        # head: sequential context chain with host decode between slices
         mu, index, ms = self._slice_params(
             v, buf, latent_means, latent_scales, jnp.int32(0)
         )
         sym = host_decode(index)
-        for si in range(1, cfg.num_slices):
+        for si in range(1, head):
             buf, y_hat_prev, mu, index, ms = self._slice_step(
                 v, buf, ms, mu, sym, latent_means, latent_scales,
                 jnp.int32(si - 1), jnp.int32(si),
@@ -257,9 +314,22 @@ class MCMCodec:
             y_slices.append(y_hat_prev)
             sym = host_decode(index)
         buf, y_hat_last = self._slice_update(
-            v, buf, ms, mu, sym, jnp.int32(cfg.num_slices - 1)
+            v, buf, ms, mu, sym, jnp.int32(head - 1)
         )
         y_slices.append(y_hat_last)
+
+        # tail: one dispatch + one host round trip for all remaining slices
+        tail = cfg.num_slices - head
+        mu_t, index_t, ms_t = self._tail_params(v, buf, latent_means, latent_scales)
+        index_np = np.asarray(index_t)  # (T, N, h, w, g)
+        sym_t = np.empty((tail, n, grid, grid, g), np.int16)
+        for j, d in enumerate(decs):  # stream order: slice-major within image
+            for t in range(tail):
+                sym_t[t, j] = d.decode_stream(
+                    index_np[t, j], gt.quantized_cdf, gt.cdf_length, gt.offset
+                ).reshape(grid, grid, g)
+        y_tail = self._tail_update(v, ms_t, mu_t, jnp.asarray(sym_t))
+        y_slices.extend(y_tail[t] for t in range(tail))
 
         y_hat = jnp.concatenate(y_slices, axis=-1)
         return self._finish(v, y_hat, jnp.asarray(ids_restore))

@@ -570,6 +570,68 @@ class MCM(nn.Module):
         )
         return buf, y_hat
 
+    def decode_tail_params(
+        self,
+        buf: jnp.ndarray,
+        latent_means: jnp.ndarray,
+        latent_scales: jnp.ndarray,
+        scale_table: jnp.ndarray,
+    ):
+        """mu/indexes for ALL tail slices (max_support..num_slices-1) at once.
+
+        The context buffer freezes after slice max_support-1 (MCM.py:755-768
+        uses only the first 6 decoded slices), so tail slices are mutually
+        independent: one dispatch + one host round trip decodes all of them,
+        collapsing the decode alternation count from num_slices to
+        max_support+1. The reference's per-slice loop serializes them
+        needlessly.
+        """
+        cfg = self.config
+        mean_support = self._support(buf, latent_means)
+        scale_support = self._support(buf, latent_scales)
+        t0 = cfg.max_support
+        ccm_k, ccm_b = self.cc_transform_mean.stacked_params()
+        ccs_k, ccs_b = self.cc_transform_scale.stacked_params()
+        tail_m = ([k[t0:] for k in ccm_k], [b[t0:] for b in ccm_b])
+        tail_s = ([k[t0:] for k in ccs_k], [b[t0:] for b in ccs_b])
+
+        def one(mk, mb, sk, sb):
+            mu = StackedSliceNet.apply_one(mk, mb, mean_support)
+            sigma = StackedSliceNet.apply_one(sk, sb, scale_support)
+            return mu, gaussian_build_indexes(sigma, scale_table)
+
+        mu, index = jax.vmap(one)(tail_m[0], tail_m[1], tail_s[0], tail_s[1])
+        return mu, index, mean_support  # (T, N, h, w, g) each
+
+    def decode_tail_update(
+        self,
+        mean_support: jnp.ndarray,
+        mu_stack: jnp.ndarray,
+        sym_stack: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Stacked y_hat for the tail slices from their decoded symbols."""
+        cfg = self.config
+        t0 = cfg.max_support
+        lrp_k, lrp_b = self.lrp_transform.stacked_params()
+        tail = ([k[t0:] for k in lrp_k], [b[t0:] for b in lrp_b])
+
+        def one(lk, lb, mu, sym):
+            y_hat = sym.astype(jnp.float32) + mu
+            lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
+            lrp = 0.5 * jnp.tanh(StackedSliceNet.apply_one(lk, lb, lrp_support))
+            return y_hat + lrp
+
+        return jax.vmap(one)(tail[0], tail[1], mu_stack, sym_stack)
+
+    def quantize_tail(self, y: jnp.ndarray, mu_stack: jnp.ndarray) -> jnp.ndarray:
+        """Symbols for all tail slices: round(y_tail - mu) stacked (T,N,h,w,g)."""
+        cfg = self.config
+        g, t0 = cfg.group_ch, cfg.max_support
+        n, h, w, _ = y.shape
+        t = cfg.num_slices - t0
+        y_tail = y[..., t0 * g :].reshape(n, h, w, t, g).transpose(3, 0, 1, 2, 4)
+        return gaussian_quantize_symbols(y_tail, mu_stack)
+
     def decode_slice_step(
         self,
         buf: jnp.ndarray,

@@ -85,6 +85,21 @@ class MetricLogger:
     def __str__(self) -> str:
         return self.delimiter.join(f"{k}: {v}" for k, v in self.meters.items())
 
+    @staticmethod
+    def _device_mem() -> str:
+        """Peak device memory if the backend reports it (the reference prints
+        max CUDA memory, logger.py:138-143)."""
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak:
+                return f"  max mem: {peak / 2**20:.0f}MB"
+        except Exception:
+            pass
+        return ""
+
     def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
         """Progress-printing iterator with iter/data timing and ETA
         (logger.py:110-154)."""
@@ -108,7 +123,7 @@ class MetricLogger:
                 count = f"[{i}{'/' + str(total) if total is not None else ''}]"
                 print(
                     f"{header} {count}  {eta}{self}  "
-                    f"time: {iter_time}  data: {data_time}",
+                    f"time: {iter_time}  data: {data_time}{self._device_mem()}",
                     flush=True,
                 )
             i += 1
