@@ -10,10 +10,13 @@ from __future__ import annotations
 
 import argparse
 import shutil
+import sys
 import tempfile
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 
 def build_dataset(root: Path, kodak: Path | None, n_train=8, n_val=2, size=224):

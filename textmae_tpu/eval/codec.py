@@ -85,12 +85,16 @@ class MCMCodec:
             return mu, index.astype(jnp.uint8), ms
 
         self._slice_params = jax.jit(_sp)
-        self._quantize_slice = jax.jit(
-            # int16 symbols: halves the transfer; |round(y-mu)| >= 2^15 would
-            # mean a diverged model, checked host-side in compress()
-            lambda v, y, mu, i: model.apply(v, y, mu, i, method=MCM.quantize_slice)
-            .astype(jnp.int16)
-        )
+
+        def _qs(v, y, mu, i):
+            # int16 symbols halve the transfer; the overflow count guards the
+            # cast (|round(y-mu)| >= 2^15 would silently wrap and corrupt the
+            # stream -- possible only for a numerically diverged model)
+            sym = model.apply(v, y, mu, i, method=MCM.quantize_slice)
+            overflow = jnp.sum((sym > 32767) | (sym < -32768)).astype(jnp.int32)
+            return sym.astype(jnp.int16), overflow
+
+        self._quantize_slice = jax.jit(_qs)
         # both compress and decompress feed int16 symbols -> one compiled
         # program, keeping buf bit-identical across the two directions
         self._slice_update = jax.jit(
@@ -120,19 +124,23 @@ class MCMCodec:
                 v, ms, mu, sym, method=MCM.decode_tail_update
             )
         )
-        self._quantize_tail = jax.jit(
-            lambda v, y, mu: model.apply(v, y, mu, method=MCM.quantize_tail)
-            .astype(jnp.int16)
-        )
+        def _qt(v, y, mu):
+            sym = model.apply(v, y, mu, method=MCM.quantize_tail)
+            overflow = jnp.sum((sym > 32767) | (sym < -32768)).astype(jnp.int32)
+            return sym.astype(jnp.int16), overflow
+
+        self._quantize_tail = jax.jit(_qt)
         self._finish = jax.jit(
             lambda v, y_hat, ids: model.apply(v, y_hat, ids, method=MCM.decode_finish)
         )
 
-        def _pack(syms, idxs, z_sym, ids_restore):
+        def _pack(syms, idxs, z_sym, ids_restore, overflow):
             # single D2H buffer: [int16 payload as bytes | uint8 indexes] —
-            # each separate host transfer costs a full tunnel RTT (~40ms)
+            # each separate host transfer costs a full tunnel RTT (~40ms).
+            # The overflow flag rides along as the first int16.
             i16 = jnp.concatenate(
                 [
+                    jnp.clip(overflow, 0, 1).astype(jnp.int16).reshape(1),
                     syms.reshape(-1),
                     z_sym.astype(jnp.int16).reshape(-1),
                     ids_restore.astype(jnp.int16).reshape(-1),
@@ -178,7 +186,7 @@ class MCMCodec:
         mu, index, ms = self._slice_params(
             v, buf, latent_means, latent_scales, jnp.int32(0)
         )
-        sym = self._quantize_slice(v, y, mu, jnp.int32(0))
+        sym, overflow = self._quantize_slice(v, y, mu, jnp.int32(0))
         syms.append(sym)
         idxs.append(index)
         for si in range(1, head):
@@ -186,16 +194,18 @@ class MCMCodec:
                 v, buf, ms, mu, sym, latent_means, latent_scales,
                 jnp.int32(si - 1), jnp.int32(si),
             )
-            sym = self._quantize_slice(v, y, mu, jnp.int32(si))
+            sym, ov = self._quantize_slice(v, y, mu, jnp.int32(si))
+            overflow = overflow + ov
             syms.append(sym)
             idxs.append(index)
         buf, _ = self._slice_update(v, buf, ms, mu, sym, jnp.int32(head - 1))
         # tail: all remaining slices in one dispatch (buf is frozen now)
         mu_t, index_t, _ = self._tail_params(v, buf, latent_means, latent_scales)
-        sym_t = self._quantize_tail(v, y, mu_t)
+        sym_t, ov = self._quantize_tail(v, y, mu_t)
+        overflow = overflow + ov
         symbols = jnp.concatenate([jnp.stack(syms), sym_t])
         indexes = jnp.concatenate([jnp.stack(idxs), index_t])
-        return symbols, indexes
+        return symbols, indexes, overflow
 
     def compress(
         self, imgs: jnp.ndarray, total_scores: jnp.ndarray
@@ -206,7 +216,9 @@ class MCMCodec:
         front = self._front(self.variables, imgs, total_scores)
         z_sym_d = front["z_sym"]
         latent_means, latent_scales = self._hyper(self.variables, z_sym_d)
-        syms_d, idxs_d = self._run_slice_chain(front["y"], latent_means, latent_scales)
+        syms_d, idxs_d, overflow_d = self._run_slice_chain(
+            front["y"], latent_means, latent_scales
+        )
 
         n = imgs.shape[0]
         grid = cfg.keep_grid
@@ -216,17 +228,23 @@ class MCMCodec:
         n_sym = int(np.prod(sym_shape))
         n_z = int(np.prod(z_shape_full))
         n_ids = n * cfg.num_patches
+        n_i16 = 1 + n_sym + n_z + n_ids
 
         packed = np.asarray(
-            self._pack(syms_d, idxs_d, z_sym_d, front["ids_restore"])
+            self._pack(syms_d, idxs_d, z_sym_d, front["ids_restore"], overflow_d)
         )
-        i16 = packed[: 2 * (n_sym + n_z + n_ids)].view(np.int16)
-        symbols = i16[:n_sym].reshape(sym_shape)
-        z_sym = i16[n_sym : n_sym + n_z].reshape(z_shape_full).astype(np.int32)
+        i16 = packed[: 2 * n_i16].view(np.int16)
+        if i16[0]:
+            raise OverflowError(
+                "quantized symbols exceeded int16 range — the model has "
+                "numerically diverged; refusing to emit a corrupt stream"
+            )
+        symbols = i16[1 : 1 + n_sym].reshape(sym_shape)
+        z_sym = i16[1 + n_sym : 1 + n_sym + n_z].reshape(z_shape_full).astype(np.int32)
         ids_restore = (
-            i16[n_sym + n_z :].reshape(n, cfg.num_patches).astype(np.int64)
+            i16[1 + n_sym + n_z :].reshape(n, cfg.num_patches).astype(np.int64)
         )
-        indexes = packed[2 * (n_sym + n_z + n_ids) :].reshape(sym_shape)
+        indexes = packed[2 * n_i16 :].reshape(sym_shape)
 
         gt, et = self.gauss_tables, self.eb_tables
         cz = z_sym.shape[-1]
