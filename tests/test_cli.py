@@ -1,0 +1,67 @@
+"""CLI surface tests: parsers, score-file generation, dataset reorganizer."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from textmae_tpu.cli.generate_scores import process_dataset
+from textmae_tpu.cli.train import build_parser as train_parser
+from textmae_tpu.cli.test_model import build_parser as test_parser
+from textmae_tpu.cli.mae_pretrain import build_parser as pretrain_parser
+from textmae_tpu.cli.mae_finetune import build_parser as finetune_parser
+from textmae_tpu.cli.mae_linprobe import build_parser as linprobe_parser
+from textmae_tpu.data.reorganize import flatten_dataset
+
+
+def test_train_parser_defaults():
+    args = train_parser().parse_args(["-d", "x"])
+    # canonical config parity (train.sh:1-11 / training.py:40-49)
+    assert args.epochs == 1000
+    assert args.batch_size == 32
+    assert args.learning_rate == 1e-4
+    assert args.lmbda == 1e-4
+    assert args.num_keep_patches == 144
+    assert args.input_size == 224
+    assert args.clip_grad == 1.0
+
+
+def test_test_parser_defaults():
+    args = test_parser().parse_args(["-d", "x"])
+    assert args.batch_size == 1  # testing.py:143
+    assert not args.entropy_estimation
+
+
+def test_mae_parsers():
+    a = pretrain_parser().parse_args(["--data_path", "x"])
+    assert a.mask_ratio == 0.75 and a.blr == 1e-3 and a.epochs == 800
+    b = finetune_parser().parse_args(["--data_path", "x"])
+    assert b.layer_decay == 0.75 and b.smoothing == 0.1
+    c = linprobe_parser().parse_args(["--data_path", "x"])
+    assert c.blr == 0.1 and c.epochs == 90
+
+
+def test_generate_scores_cli(tmp_path, rng):
+    root = tmp_path / "ds"
+    (root / "train").mkdir(parents=True)
+    (root / "val").mkdir()
+    for split, n in (("train", 3), ("val", 2)):
+        for i in range(n):
+            arr = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(root / split / f"i{i}.png")
+    out = process_dataset("train", root, workers=1)
+    assert out.exists()
+    scores = np.load(out)
+    assert scores.shape == (3, 196)
+    out_val = process_dataset("val", root, workers=2)
+    assert np.load(out_val).shape == (2, 196)
+
+
+def test_flatten_dataset(tmp_path, rng):
+    src = tmp_path / "src"
+    for split_dir, cls in (("train.X1", "dog"), ("train.X2", "cat"), ("val.X", "dog")):
+        d = src / split_dir / cls
+        d.mkdir(parents=True)
+        arr = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / "a.png")
+    counts = flatten_dataset(src, tmp_path / "dst")
+    assert counts == {"train": 2, "val": 1}
+    assert (tmp_path / "dst" / "train" / "dog_a.png").exists()
