@@ -25,6 +25,12 @@ entropy-estimation-style use.)
 
 `update()` builds the quantized CDF tables host-side (testing.py:223's
 model.update(force=True)).
+
+Multi-chip serving: run ONE codec instance per chip and split the image
+stream across them (embarrassingly parallel). Do NOT shard a single codec's
+batch over a mesh: encoder and decoder would then run differently-partitioned
+programs whose float results may differ in the last bit, desynchronizing the
+rANS stream (the same hazard the shared-program design eliminates).
 """
 from __future__ import annotations
 
