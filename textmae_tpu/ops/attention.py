@@ -8,6 +8,13 @@ D=64 everything fits comfortably (3*S*D*4B ≈ 150 KiB per program).
 
 Backward pass recomputes via the jnp reference path (cheap at these sizes, and
 keeps a single source of truth for gradients).
+
+Measured on v5e (examples/attn_bench.py, f32): at the model's shapes the
+kernel is at parity with XLA's fused attention — (24,12,145,64): 1.07ms
+pallas vs 1.13ms XLA; at (256,12,145,64) XLA wins slightly (4.7 vs 5.0ms,
+the per-(batch,head) grid underutilizes at tiny blocks). These sequence
+lengths are too short for flash-style tiling to pay off; the kernel is kept
+as the fused-forward path and as the foundation for longer-sequence variants.
 """
 from __future__ import annotations
 
