@@ -176,6 +176,29 @@ def test_permutation_coder_rejects_non_permutation():
         PermutationCoder(4).compress(np.array([0, 1, 1, 3]))
 
 
+@pytest.mark.parametrize("force_python", [False, True])
+def test_corrupted_stream_does_not_crash(rng, force_python):
+    """Decoding garbage must return garbage or raise — never hang or segfault."""
+    if force_python is False and not NATIVE:
+        pytest.skip("native codec unavailable")
+    table, lengths, offsets = _random_tables(rng)
+    indexes = rng.integers(0, len(lengths), 200).astype(np.int32)
+    garbage = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    dec = RansDecoder(force_python=force_python)
+    dec.set_stream(garbage)
+    try:
+        out = dec.decode_stream(indexes, table, lengths, offsets)
+        assert out.shape == (200,)  # decoded garbage is fine
+    except ValueError:
+        pass  # explicit decode error is fine too
+
+
+def test_decoder_rejects_short_stream():
+    dec = RansDecoder()
+    with pytest.raises(ValueError):
+        dec.set_stream(b"abc")  # < 8 bytes, no valid state
+
+
 def test_huffman_roundtrip(rng):
     coder = HuffmanCoder()
     for shape in [(196,), (1, 196), (5, 5)]:

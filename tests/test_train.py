@@ -98,6 +98,22 @@ def test_train_step_data_parallel(tiny_setup):
     )
 
 
+def test_train_step_deterministic(tiny_setup):
+    """Same state + batch + rng -> bit-identical params (seeded reproducibility,
+    the reference's determinism knobs at training.py:109-111)."""
+    model, params, imgs, scores = tiny_setup
+    tx = configure_optimizers(params)
+    step = make_train_step(model, tx, lmbda=1e-4, donate=False)
+    batch = {"imgs": imgs, "scores": scores}
+    rng = jax.random.PRNGKey(9)
+    s1, m1 = step(TrainState.create(params, tx), batch, rng)
+    s2, m2 = step(TrainState.create(params, tx), batch, rng)
+    assert float(m1["loss"]) == float(m2["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["cls_token"]), np.asarray(s2.params["cls_token"])
+    )
+
+
 def test_eval_step(tiny_setup):
     model, params, imgs, scores = tiny_setup
     es = make_eval_step(model, lmbda=1e-4)

@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--output_dir", default="./out_pretrain")
     p.add_argument("--log_dir", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the newest checkpoint in --output_dir "
+                        "(elastic-recovery analog of submitit_pretrain.py:61-71)")
     p.add_argument("--save_every", type=int, default=20)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--print_freq", type=int, default=20)
@@ -85,9 +88,19 @@ def main(argv=None):
     tx = mae_pretrain_optimizer(params, schedule, args.weight_decay)
     state = TrainState.create(params, tx)
     start_epoch = 0
-    if args.resume:
-        state, meta = restore_checkpoint(args.resume, state_template=state)
+    resume = args.resume
+    if resume is None and args.auto_resume:
+        from pathlib import Path as _P
+
+        ckpts = sorted(
+            _P(args.output_dir).glob("checkpoint-*"),
+            key=lambda p: int(p.name.split("-")[-1]),
+        )
+        resume = str(ckpts[-1]) if ckpts else None
+    if resume:
+        state, meta = restore_checkpoint(resume, state_template=state)
         start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"resumed from {resume} at epoch {start_epoch}")
 
     mesh = make_mesh()
     step = make_mae_pretrain_step(model, tx, args.mask_ratio)

@@ -11,6 +11,7 @@ from textmae_tpu.coding.rans import (
     pmf_to_quantized_cdf_native,
 )
 from textmae_tpu.coding.huffman import HuffmanCoder, HuffmanPayload
+from textmae_tpu.coding.permutation import PermutationCoder
 
 __all__ = [
     "RansEncoder",
@@ -19,4 +20,5 @@ __all__ = [
     "pmf_to_quantized_cdf_native",
     "HuffmanCoder",
     "HuffmanPayload",
+    "PermutationCoder",
 ]

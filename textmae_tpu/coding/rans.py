@@ -238,6 +238,8 @@ class RansDecoder:
             if rc != 0:
                 raise ValueError(f"set_stream failed (rc={rc})")
         else:
+            if len(data) < 8 or len(data) % 4:
+                raise ValueError("set_stream failed: truncated stream")
             self._state = _PyDecState(data)
 
     def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
