@@ -1,58 +1,95 @@
-"""Train MCM for 400 steps on Kodak-24 and show real-codec R-D improving.
+"""Train MCM on Kodak-24 and show the real-codec R-D metrics improving.
 
-Measured (single v5e chip, f32, batch 8, ~40ms/step): loss 1.05 -> 0.34,
-real-bitstream bpp 0.32 -> 0.19, PSNR 6.93 -> 7.25 dB after 400 steps.
+Measured on a single v5e chip (f32, batch 8, ~40ms/step, fresh random init —
+no MAE-pretrained checkpoint available in the zero-egress environment):
+
+    --steps 400  --lmbda 1e-4 (canonical rate-dominated objective):
+        loss 1.05 -> 0.34, real-bitstream bpp 0.32 -> 0.19, PSNR 6.93 -> 7.25
+    --steps 2500 --lmbda 1e-2 (distortion-heavier, shows movement faster):
+        PSNR 6.93 -> 9.72 dB, MS-SSIM 0.065 -> 0.278, bpp 0.322 -> 0.117,
+        2500 steps in 100s compute (279s incl. compiles)
+
+Full convergence to the reference's published R-D points additionally needs
+the MAE-pretrained encoder init (setup.sh:21-22) and the 1000-epoch schedule.
 """
+import argparse
 import sys
+import time
 from pathlib import Path
+
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
-import time, numpy as np, jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-from bench import load_images
-from textmae_tpu.data.score_maps import total_score_for_image
-from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
-from textmae_tpu.models.mcm import MCM, MCMConfig
-from textmae_tpu.train import TrainState, configure_optimizers, make_train_step
-from textmae_tpu.eval import MCMCodec, inference
 
-imgs_np, grays = load_images()
-scores_np = np.stack([total_score_for_image(g) for g in grays])
-# train on normalized images (reference train transform), batch 8
-norm = (imgs_np - IMAGENET_MEAN) / IMAGENET_STD
-imgs_all = jnp.asarray(norm.transpose(0,3,1,2))
-raw_all = jnp.asarray(imgs_np.transpose(0,3,1,2))
-scores_all = jnp.asarray(scores_np)
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--lmbda", type=float, default=1e-4)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--eval-n", type=int, default=8)
+    args = p.parse_args()
 
-cfg = MCMConfig()
-model = MCM(cfg)
-rng = jax.random.PRNGKey(0)
-variables = jax.jit(lambda k: model.init({"params":k,"noise":k}, imgs_all[:1], scores_all[:1], training=False, compute_loss=False))(rng)
-params = variables["params"]
-tx = configure_optimizers(params, learning_rate=1e-4, aux_learning_rate=1e-3)
-state = TrainState.create(params, tx)
-step = make_train_step(model, tx, lmbda=1e-4)
+    import jax
+    import jax.numpy as jnp
 
-def eval_codec(params, tag):
-    codec = MCMCodec(model, {"params": params})
-    codec.update(force=True)
-    res = inference(codec, raw_all[:8], scores_all[:8])
-    res.pop("x_hat")
-    print(tag, {k: round(float(v), 4) for k, v in res.items()}, flush=True)
-    return res
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-eval_codec(state.params, "BEFORE:")
+    from bench import load_images
+    from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from textmae_tpu.data.score_maps import total_score_for_image
+    from textmae_tpu.eval import MCMCodec, inference
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+    from textmae_tpu.train import TrainState, configure_optimizers, make_train_step
 
-B = 8
-order = np.random.default_rng(0)
-t0 = time.time()
-for it in range(400):
-    idx = order.integers(0, 24, B)
-    batch = {"imgs": imgs_all[idx], "scores": scores_all[idx]}
-    state, m = step(state, batch, rng)
-    if it % 50 == 0:
-        print(f"step {it}: loss={float(m['loss']):.4f} bpp={float(m['bpp_loss']):.4f} ssim={float(m['ssim_loss']):.4f} l1={float(m['L1_loss']):.4f} ({time.time()-t0:.0f}s)", flush=True)
-print(f"400 steps in {time.time()-t0:.0f}s", flush=True)
-eval_codec(state.params, "AFTER:")
+    imgs_np, grays = load_images()
+    if grays is None:
+        scores_np = np.random.default_rng(1).random((len(imgs_np), 196)).astype(np.float32)
+    else:
+        scores_np = np.stack([total_score_for_image(g) for g in grays])
+    norm = (imgs_np - IMAGENET_MEAN) / IMAGENET_STD
+    imgs_all = jnp.asarray(norm.transpose(0, 3, 1, 2))
+    raw_all = jnp.asarray(imgs_np.transpose(0, 3, 1, 2))
+    scores_all = jnp.asarray(scores_np)
+    n = imgs_all.shape[0]
+
+    cfg = MCMConfig()
+    model = MCM(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k, "noise": k}, imgs_all[:1], scores_all[:1],
+            training=False, compute_loss=False,
+        )
+    )(rng)
+    tx = configure_optimizers(variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    step = make_train_step(model, tx, lmbda=args.lmbda)
+
+    def eval_codec(params, tag):
+        codec = MCMCodec(model, {"params": params})
+        codec.update(force=True)
+        res = inference(codec, raw_all[: args.eval_n], scores_all[: args.eval_n])
+        res.pop("x_hat")
+        print(tag, {k: round(float(v), 4) for k, v in res.items()}, flush=True)
+
+    eval_codec(state.params, "BEFORE:")
+    order = np.random.default_rng(0)
+    t0 = time.time()
+    for it in range(args.steps):
+        idx = order.integers(0, n, args.batch)
+        state, m = step(state, {"imgs": imgs_all[idx], "scores": scores_all[idx]}, rng)
+        if it % max(args.steps // 10, 1) == 0:
+            print(
+                f"step {it}: loss={float(m['loss']):.4f} bpp={float(m['bpp_loss']):.4f} "
+                f"ssim={float(m['ssim_loss']):.4f} l1={float(m['L1_loss']):.4f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    print(f"{args.steps} steps in {time.time() - t0:.0f}s", flush=True)
+    eval_codec(state.params, "AFTER:")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,15 @@ def patch_scores(img: np.ndarray, crop_sz: int = 16, step: int = 16) -> np.ndarr
     return np.floor(means).astype(np.int64).reshape(-1)
 
 
+def show_distribution(score: np.ndarray, shape=(14, 14), title: str = ""):
+    """Debug visualization of a patch-score grid (utils/distribution.py:19-24)."""
+    import matplotlib.pyplot as plt
+
+    plt.imshow(np.resize(score, shape))
+    plt.title(title, fontsize=16)
+    plt.axis("off")
+
+
 def total_score_for_image(
     gray: np.ndarray, map_shape: Tuple[int, int] = (224, 224)
 ) -> np.ndarray:
