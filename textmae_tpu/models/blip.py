@@ -14,7 +14,6 @@ TEXTMAE_BLIP2_PATH at a local snapshot.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 
 class Blip2:

@@ -8,7 +8,6 @@ the MAE's fixed sincos) so checkpoint import exercises pos-embed interpolation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ on TPU) with float32 parameters; LayerNorm statistics stay in float32.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

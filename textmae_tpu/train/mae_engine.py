@@ -12,7 +12,7 @@ cross-entropy.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -141,9 +141,10 @@ def make_classifier_eval_step(model):
 
     def step(params, imgs, labels):
         logits = model.apply({"params": params}, imgs)
-        top5 = jax.lax.top_k(logits, 5)[1]
-        correct1 = (top5[:, 0] == labels).sum()
-        correct5 = (top5 == labels[:, None]).any(axis=1).sum()
+        k = min(5, logits.shape[-1])
+        topk = jax.lax.top_k(logits, k)[1]
+        correct1 = (topk[:, 0] == labels).sum()
+        correct5 = (topk == labels[:, None]).any(axis=1).sum()
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), labels
         ).mean()
