@@ -200,3 +200,16 @@ def test_ragged_embedding_semantics(setup):
                 np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5,
                 err_msg=f"{name} slice {i}",
             )
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        MCMConfig(img_size=100)
+    with pytest.raises(ValueError, match="num_slices"):
+        MCMConfig(latent_depth=100, num_slices=12)
+    with pytest.raises(ValueError, match="exceeds"):
+        MCMConfig(img_size=96, num_keep_patches=144)
+    with pytest.raises(ValueError, match="4x4"):
+        MCMConfig(num_keep_patches=9)
+    with pytest.raises(ValueError, match="perfect square"):
+        MCMConfig(num_keep_patches=145)

@@ -86,6 +86,22 @@ class MCMConfig:
     use_pallas: bool = True
     remat: bool = False
 
+    def __post_init__(self):
+        if self.img_size % self.patch_size:
+            raise ValueError("img_size must be divisible by patch_size (MCM.py:511)")
+        if self.latent_depth % self.num_slices:
+            raise ValueError("latent_depth must divide evenly into num_slices")
+        if self.num_keep_patches > self.num_patches:
+            raise ValueError(
+                f"num_keep_patches ({self.num_keep_patches}) exceeds the "
+                f"patch count ({self.num_patches})"
+            )
+        if self.keep_grid < 4:
+            raise ValueError(
+                "num_keep_patches grid must be >= 4x4: h_a downsamples the "
+                "token grid twice by stride 2 (MCM.py:115-129)"
+            )
+
     @property
     def num_patches(self) -> int:
         return (self.img_size // self.patch_size) ** 2
