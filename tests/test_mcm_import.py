@@ -213,3 +213,17 @@ def test_config_validation():
         MCMConfig(num_keep_patches=9)
     with pytest.raises(ValueError, match="perfect square"):
         MCMConfig(num_keep_patches=145)
+
+
+def test_flax_to_torch_roundtrip(setup):
+    """export(import(sd)) == sd for every reference key (two-way interop)."""
+    from textmae_tpu.train.checkpoint import mcm_flax_to_torch
+
+    _, params, _, _ = setup
+    sd = synthetic_mcm_sd(TINY)
+    merged = merge_pretrained(params, mcm_torch_to_flax(sd, TINY), strict_shapes=True)
+    exported = mcm_flax_to_torch(merged, TINY)
+    missing = set(sd) - set(exported)
+    assert missing == set(), f"unexported keys: {missing}"
+    for k in sd:
+        np.testing.assert_array_equal(exported[k], sd[k], err_msg=k)

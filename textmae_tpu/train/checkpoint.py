@@ -329,6 +329,97 @@ def load_mcm_torch_checkpoint(params: Dict, path: os.PathLike, config) -> Dict:
     return merge_pretrained(params, mcm_torch_to_flax(sd, config), strict_shapes=True)
 
 
+def mcm_flax_to_torch(params: Dict, config) -> Dict[str, np.ndarray]:
+    """Inverse of mcm_torch_to_flax: textmae_tpu MCM params -> a reference-
+    layout torch state dict (so weights trained here can drive the original
+    PyTorch MCM; two-way interop for R-D parity checks).
+
+    Stacked slice nets are split back into 12 ragged per-slice nets by
+    cropping the zero-padded layer-0 input channels; fixed sincos pos-embeds
+    are regenerated torch-side by the reference itself (not exported).
+    """
+    params = jax.tree.map(np.asarray, params)
+    g, m, latent = config.group_ch, config.max_support, config.latent_depth
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_block(prefix: str, tree: Dict):
+        sd[f"{prefix}.norm1.weight"] = tree["norm1"]["scale"]
+        sd[f"{prefix}.norm1.bias"] = tree["norm1"]["bias"]
+        sd[f"{prefix}.attn.qkv.weight"] = tree["attn"]["qkv"]["kernel"].T
+        sd[f"{prefix}.attn.qkv.bias"] = tree["attn"]["qkv"]["bias"]
+        sd[f"{prefix}.attn.proj.weight"] = tree["attn"]["proj"]["kernel"].T
+        sd[f"{prefix}.attn.proj.bias"] = tree["attn"]["proj"]["bias"]
+        sd[f"{prefix}.norm2.weight"] = tree["norm2"]["scale"]
+        sd[f"{prefix}.norm2.bias"] = tree["norm2"]["bias"]
+        sd[f"{prefix}.mlp.fc1.weight"] = tree["mlp"]["fc1"]["kernel"].T
+        sd[f"{prefix}.mlp.fc1.bias"] = tree["mlp"]["fc1"]["bias"]
+        sd[f"{prefix}.mlp.fc2.weight"] = tree["mlp"]["fc2"]["kernel"].T
+        sd[f"{prefix}.mlp.fc2.bias"] = tree["mlp"]["fc2"]["bias"]
+
+    sd["encoder_embed.proj.weight"] = params["encoder_embed"]["proj"]["kernel"].transpose(3, 2, 0, 1)
+    sd["encoder_embed.proj.bias"] = params["encoder_embed"]["proj"]["bias"]
+    sd["cls_token"] = params["cls_token"]
+    sd["mask_token"] = params["mask_token"]
+    for i in range(config.encoder_depth):
+        put_block(f"encoder_blocks.{i}", params[f"encoder_blocks_{i}"])
+    sd["encoder_norm.weight"] = params["encoder_norm"]["scale"]
+    sd["encoder_norm.bias"] = params["encoder_norm"]["bias"]
+    sd["decoder_embed.weight"] = params["decoder_embed"]["kernel"].T
+    sd["decoder_embed.bias"] = params["decoder_embed"]["bias"]
+    for i in range(config.decoder_depth):
+        put_block(f"decoder_blocks.{i}", params[f"decoder_blocks_{i}"])
+    sd["decoder_norm.weight"] = params["decoder_norm"]["scale"]
+    sd["decoder_norm.bias"] = params["decoder_norm"]["bias"]
+    sd["decoder_pred.weight"] = params["decoder_pred"]["kernel"].T
+    sd["decoder_pred.bias"] = params["decoder_pred"]["bias"]
+
+    for j in range(4):  # g_a Conv2d / g_s ConvTranspose2d, 1x1
+        k = params["g_a"][f"conv_{j}"]
+        sd[f"g_a.{2 * j}.weight"] = k["kernel"].transpose(3, 2, 0, 1)
+        sd[f"g_a.{2 * j}.bias"] = k["bias"]
+        k = params["g_s"][f"conv_{j}"]
+        sd[f"g_s.{2 * j}.weight"] = k["kernel"].transpose(2, 3, 0, 1)
+        sd[f"g_s.{2 * j}.bias"] = k["bias"]
+    for j in range(5):
+        k = params[f"h_a_{j}"]["conv"]
+        sd[f"h_a.{2 * j}.weight"] = k["kernel"].transpose(3, 2, 0, 1)
+        sd[f"h_a.{2 * j}.bias"] = k["bias"]
+    for prefix in ("h_s_mean", "h_s_scale"):
+        for j, ti in enumerate((0, 2, 4, 6, 8)):
+            k = params[f"{prefix}_{j}"]["conv"]
+            key = f"{prefix}.{ti}.0" if ti in (2, 6) else f"{prefix}.{ti}"
+            sd[f"{key}.weight"] = k["kernel"].transpose(3, 2, 0, 1)
+            sd[f"{key}.bias"] = k["bias"]
+
+    for name, extra in (
+        ("cc_transform_mean", 0), ("cc_transform_scale", 0), ("lrp_transform", g),
+    ):
+        tree = params[name]
+        n_layers = len([k for k in tree if k.startswith("kernel_")])
+        for i in range(config.num_slices):
+            s = min(i, m)
+            for j in range(n_layers):
+                w = tree[f"kernel_{j}"][i]  # (3,3,in,out) HWIO
+                if j == 0:
+                    if name == "lrp_transform":
+                        w = np.concatenate(
+                            [w[:, :, : latent + g * s], w[:, :, latent + g * m :]],
+                            axis=2,
+                        )
+                    else:
+                        w = w[:, :, : latent + g * s]
+                sd[f"{name}.{i}.{2 * j}.weight"] = w.transpose(3, 2, 0, 1)
+                sd[f"{name}.{i}.{2 * j}.bias"] = tree[f"bias_{j}"][i]
+
+    eb = params["entropy_bottleneck"]
+    for k, v in eb.items():
+        mm = re.match(r"(matrix|bias|factor)_(\d+)$", k)
+        if mm:
+            sd[f"entropy_bottleneck._{mm.group(1)}{mm.group(2)}"] = v
+    sd["entropy_bottleneck.quantiles"] = eb["quantiles"]
+    return sd
+
+
 def convert_vgg16_state_dict(path: os.PathLike, params: Dict) -> Dict:
     """torchvision vgg16 state dict -> VGG16Features flax params.
 
