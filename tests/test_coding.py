@@ -221,3 +221,12 @@ def test_huffman_beats_raw(rng):
     values = np.clip(rng.geometric(0.5, 2000) - 1, 0, 255)
     payload = coder.compress(values)
     assert payload.num_bits() < 8 * len(values)
+
+
+def test_permutation_coder_large_and_odd(rng):
+    from textmae_tpu.coding.permutation import PermutationCoder
+
+    for L in (197, 1024):
+        coder = PermutationCoder(L)
+        perm = rng.permutation(L)
+        np.testing.assert_array_equal(coder.decompress(coder.compress(perm)), perm)
