@@ -65,3 +65,17 @@ def test_flatten_dataset(tmp_path, rng):
     counts = flatten_dataset(src, tmp_path / "dst")
     assert counts == {"train": 2, "val": 1}
     assert (tmp_path / "dst" / "train" / "dog_a.png").exists()
+
+
+def test_stage_wrappers_surface():
+    """Blip2/Diffuser expose the reference 3-method surface and fail cleanly
+    before prepare_model()."""
+    from textmae_tpu.models import Blip2, Diffuser
+
+    b = Blip2()
+    with pytest.raises(RuntimeError):
+        b.generate_caption(None)
+    d = Diffuser()
+    with pytest.raises(RuntimeError):
+        d.refine_image("x", None)
+    assert hasattr(Blip2, "prepare_model") and hasattr(Diffuser, "prepare_model")

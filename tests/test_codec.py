@@ -89,3 +89,15 @@ def test_entropy_estimation_close_to_real_bpp(setup):
     assert real_bits >= est_bits * 0.5 - 16
     # total bpp decomposes exactly
     assert real["bpp"] == pytest.approx(real["bpp_streams"] + real["bpp_side_info"])
+
+
+def test_compress_deterministic(setup):
+    """Same inputs -> byte-identical streams (reproducible archives)."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    s1, ids1 = codec.compress(imgs, scores)
+    s2, ids2 = codec.compress(imgs, scores)
+    np.testing.assert_array_equal(ids1, ids2)
+    for a, b in zip(s1, s2):
+        assert a.y_string == b.y_string and a.z_string == b.z_string

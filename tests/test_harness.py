@@ -80,3 +80,13 @@ def test_report_schema(tmp_path):
     assert loaded["name"] == "textmae_tpu-mcm"
     assert loaded["results"]["ckpt"]["psnr"] == 30.0
     assert report == loaded
+
+
+def test_eval_model_pipelined_matches_serial(test_dataset, codec):
+    from textmae_tpu.data import ImageScoreDataset
+
+    ds = ImageScoreDataset(test_dataset, "test", img_size=96)
+    serial = eval_model(codec, ds, batch_size=2)
+    piped = eval_model(codec, ds, batch_size=2, pipeline=2)
+    for k in ("psnr", "bpp"):
+        assert serial[k] == pytest.approx(piped[k], rel=1e-5)

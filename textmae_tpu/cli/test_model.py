@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--num-keep-patches", type=int, default=144)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="overlap this many batches' round trips (throughput mode)")
     p.add_argument("--entropy-estimation", action="store_true")
     p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
     p.add_argument("--save-recon", action="store_true")
@@ -75,6 +77,7 @@ def main(argv=None):
             results = eval_model(
                 model, dataset, entropy_estimation=True, variables=variables,
                 batch_size=args.batch_size, verbose=args.verbose,
+                pipeline=args.pipeline,
                 output_dir=args.output_path if args.save_recon else None,
             )
         else:
@@ -82,6 +85,7 @@ def main(argv=None):
             codec.update(force=True)
             results = eval_model(
                 codec, dataset, batch_size=args.batch_size, verbose=args.verbose,
+                pipeline=args.pipeline,
                 output_dir=args.output_path if args.save_recon else None,
             )
         all_results[name] = results

@@ -114,15 +114,22 @@ def eval_model(
     batch_size: int = 1,
     output_dir: Optional[Path] = None,
     verbose: bool = False,
+    pipeline: int = 1,
 ) -> Dict[str, float]:
-    """Loop a dataset through inference, average metrics (testing.py:128-165)."""
+    """Loop a dataset through inference, average metrics (testing.py:128-165).
+
+    pipeline > 1 runs that many batches' round trips on worker threads so one
+    batch's host-bound decode alternation overlaps another's device-bound
+    compress (the same trick that takes bench.py past the throughput target).
+    Timing metrics then reflect wall-clock per overlapped batch.
+    """
     agg = defaultdict(float)
     count = 0
     out_dir = Path(output_dir) if output_dir else None
     if out_dir:
         out_dir.mkdir(parents=True, exist_ok=True)
 
-    for start in range(0, len(dataset), batch_size):
+    def run_batch(start: int):
         idxs = range(start, min(start + batch_size, len(dataset)))
         samples = [dataset[i] for i in idxs]
         imgs = jnp.asarray(
@@ -133,6 +140,18 @@ def eval_model(
             res = inference_entropy_estimation(codec_or_model, variables, imgs, scores)
         else:
             res = inference(codec_or_model, imgs, scores)
+        return idxs, samples, res
+
+    starts = list(range(0, len(dataset), batch_size))
+    if pipeline > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(pipeline)
+        results = pool.map(run_batch, starts)
+    else:
+        results = map(run_batch, starts)
+
+    for idxs, samples, res in results:
         x_hat = res.pop("x_hat")
         if out_dir is not None:
             for j, i in enumerate(idxs):
@@ -143,6 +162,8 @@ def eval_model(
         count += len(samples)
         if verbose:
             print(f"[{count}/{len(dataset)}] " + json.dumps(res), flush=True)
+    if pipeline > 1:
+        pool.shutdown()
 
     return {k: v / count for k, v in agg.items()}
 
