@@ -66,7 +66,7 @@ def main():
 
     from textmae_tpu.data.score_maps import total_score_for_image
     from textmae_tpu.eval import MCMCodec, compute_metrics
-    from textmae_tpu.coding.permutation import PermutationCoder
+    from textmae_tpu.eval.harness import code_side_info
     from textmae_tpu.models.mcm import MCM, MCMConfig
 
     imgs_np, grays = load_images()
@@ -90,17 +90,17 @@ def main():
     )(rng)
     codec = MCMCodec(model, variables, num_threads=16)
     codec.update(force=True)
-    perm = PermutationCoder(cfg.num_patches)
 
     phase_acc = {"enc": 0.0, "dec": 0.0}
 
     def sub_round_trip(im, sc):
         t0 = time.time()
         streams, ids_restore = codec.compress(im, sc)
-        payloads = [perm.compress(ids_restore[i]) for i in range(len(streams))]
+        payloads, ids = code_side_info(
+            ids_restore, cfg.num_keep_patches, cfg.canonical_keep_order
+        )
         phase_acc["enc"] += time.time() - t0
         t0 = time.time()
-        ids = np.stack([perm.decompress(p) for p in payloads])
         x_hat = codec.decompress(streams, ids)
         jax.block_until_ready(x_hat)
         phase_acc["dec"] += time.time() - t0

@@ -39,7 +39,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from PIL import Image
 
-    from textmae_tpu.coding.permutation import PermutationCoder
+    from textmae_tpu.eval.harness import code_side_info
     from textmae_tpu.data.score_maps import total_score_for_image
     from textmae_tpu.eval import MCMCodec, compute_metrics
     from textmae_tpu.models.mcm import MCM, MCMConfig
@@ -95,12 +95,12 @@ def main(argv=None):
     codec = MCMCodec(model, variables)
     codec.update(force=True)
     streams, ids_restore = codec.compress(imgs, scores)
-    perm = PermutationCoder(cfg.num_patches)
-    side = perm.compress(ids_restore[0])
-    ids = perm.decompress(side)[None]
+    payloads, ids = code_side_info(
+        ids_restore, cfg.num_keep_patches, cfg.canonical_keep_order
+    )
     x_hat = codec.decompress(streams, ids)
     num_pixels = cfg.img_size * cfg.img_size
-    bpp = (streams[0].num_bits() + len(side) * 8) / num_pixels
+    bpp = (streams[0].num_bits() + len(payloads[0]) * 8) / num_pixels
     metrics = compute_metrics(imgs, x_hat)
 
     recon = np.clip(np.asarray(x_hat[0]).transpose(1, 2, 0), 0, 1)

@@ -24,18 +24,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from textmae_tpu.coding.permutation import PermutationCoder
+from textmae_tpu.coding.subset import SubsetCoder, ids_restore_from_kept
 from textmae_tpu.eval.codec import MCMCodec
 from textmae_tpu.eval.metrics import compute_metrics
+
+
+def code_side_info(ids_restore: np.ndarray, num_keep: int, canonical: bool):
+    """Entropy-code ids_restore per image; returns (payload bytes, decoded ids).
+
+    canonical keep order -> the kept SET suffices (~log2 C(L,K) bits,
+    SubsetCoder); reference order -> the full permutation (~log2 L!,
+    PermutationCoder). Both beat the reference's Huffman (testing.py:73-76).
+    """
+    n, length = ids_restore.shape
+    if canonical:
+        coder = SubsetCoder(length, num_keep)
+        payloads = []
+        for i in range(n):
+            kept = np.sort(np.argsort(ids_restore[i])[:num_keep])
+            payloads.append(coder.compress(kept))
+        ids = np.stack(
+            [ids_restore_from_kept(coder.decompress(p), length) for p in payloads]
+        )
+    else:
+        coder = PermutationCoder(length)
+        payloads = [coder.compress(ids_restore[i]) for i in range(n)]
+        ids = np.stack([coder.decompress(p) for p in payloads])
+    return payloads, ids
 
 
 def inference(
     codec: MCMCodec, imgs: jnp.ndarray, scores: jnp.ndarray
 ) -> Dict[str, float]:
-    """Real-bitstream round trip for a batch; returns averaged metrics.
-
-    The ids_restore side info goes through PermutationCoder (~log2(L!) bits,
-    a documented improvement over the reference's Huffman at testing.py:73-76).
-    """
+    """Real-bitstream round trip for a batch; returns averaged metrics."""
     n, _, h, w = imgs.shape
     num_pixels = h * w
 
@@ -43,9 +64,9 @@ def inference(
     streams, ids_restore = codec.compress(imgs, scores)
     enc_time = time.time() - start
 
-    perm = PermutationCoder(ids_restore.shape[1])
-    payloads = [perm.compress(ids_restore[i]) for i in range(n)]
-    ids_decoded = np.stack([perm.decompress(p) for p in payloads])
+    payloads, ids_decoded = code_side_info(
+        ids_restore, codec.cfg.num_keep_patches, codec.cfg.canonical_keep_order
+    )
 
     start = time.time()
     x_hat = codec.decompress(streams, ids_decoded)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from textmae_tpu.coding.permutation import PermutationCoder
+from textmae_tpu.eval.harness import code_side_info
 from textmae_tpu.data.score_maps import total_score_for_image
 from textmae_tpu.eval.codec import MCMCodec
 from textmae_tpu.eval.metrics import compute_metrics
@@ -68,12 +68,12 @@ def inference_tiled(
 
     start = time.time()
     streams, ids_restore = codec.compress(imgs_j, scores_j)
-    perm = PermutationCoder(ids_restore.shape[1])
-    payloads = [perm.compress(ids_restore[i]) for i in range(len(streams))]
+    payloads, ids = code_side_info(
+        ids_restore, codec.cfg.num_keep_patches, codec.cfg.canonical_keep_order
+    )
     enc_time = time.time() - start
 
     start = time.time()
-    ids = np.stack([perm.decompress(p) for p in payloads])
     x_hat = codec.decompress(streams, ids)
     x_hat = np.asarray(jax.block_until_ready(x_hat))
     dec_time = time.time() - start

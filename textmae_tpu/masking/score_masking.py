@@ -90,23 +90,43 @@ def _ids_shuffle_single(score: jnp.ndarray, num_keep: int) -> jnp.ndarray:
     return jnp.lexsort((idx, tertiary, secondary, primary)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames="num_keep")
-def get_ids_shuffle(scores: jnp.ndarray, num_keep: int) -> jnp.ndarray:
-    """(N, L) scores -> (N, L) permutation; first `num_keep` entries are the kept ids."""
+@functools.partial(jax.jit, static_argnames=("num_keep", "canonical"))
+def get_ids_shuffle(
+    scores: jnp.ndarray, num_keep: int, canonical: bool = False
+) -> jnp.ndarray:
+    """(N, L) scores -> (N, L) permutation; first `num_keep` entries are the kept ids.
+
+    canonical=True re-orders both segments by ascending patch index. The kept
+    SET is unchanged (same score-guided selection), but the permutation then
+    carries no information beyond the set, so the ids_restore side info codes
+    in log2(C(L, K)) bits (~164 for 196/144) instead of ~log2(L!) (~1243) —
+    see coding/subset.py. Ascending order also lays kept tokens out in raster
+    order on the sqrt(K) x sqrt(K) latent grid, preserving spatial locality
+    for the g_a/h_a convolutions (the reference's score-ordered arrangement
+    scatters neighbors). Reference-exact ordering = canonical=False.
+    """
     if num_keep > scores.shape[-1]:
         raise ValueError("num_keep must not exceed the number of patches")
-    return jax.vmap(lambda s: _ids_shuffle_single(s, num_keep))(scores)
+    ids_shuffle = jax.vmap(lambda s: _ids_shuffle_single(s, num_keep))(scores)
+    if not canonical:
+        return ids_shuffle
+    l = scores.shape[-1]
+    keep = jnp.zeros(scores.shape, bool).at[
+        jnp.arange(scores.shape[0])[:, None], ids_shuffle[:, :num_keep]
+    ].set(True)
+    # stable argsort of (not kept): kept ascending first, then rest ascending
+    return jnp.argsort(~keep, axis=-1, stable=True).astype(jnp.int32)
 
 
 def apply_masking(
-    x: jnp.ndarray, scores: jnp.ndarray, num_keep: int
+    x: jnp.ndarray, scores: jnp.ndarray, num_keep: int, canonical: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather the kept tokens. x: (N, L, D), scores: (N, L).
 
     Returns (x_remain (N, num_keep, D), ids_restore (N, L)) with the same
     contract as the reference random_masking (MCM.py:548-588).
     """
-    ids_shuffle = get_ids_shuffle(scores, num_keep)
+    ids_shuffle = get_ids_shuffle(scores, num_keep, canonical)
     ids_restore = jnp.argsort(ids_shuffle, axis=1).astype(jnp.int32)
     ids_keep = ids_shuffle[:, :num_keep]
     x_remain = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)

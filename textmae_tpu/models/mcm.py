@@ -81,6 +81,12 @@ class MCMConfig:
     hyperprior_depth: int = 192
     num_slices: int = 12
     num_keep_patches: int = 144
+    # canonical (ascending-index) kept-token order: the ids_restore side info
+    # then codes as the kept SET (~log2 C(L,K) bits via coding/subset.py,
+    # ~7.6x smaller than the permutation) and the latent grid keeps raster
+    # locality. False reproduces the reference's score-ordered arrangement
+    # (required when importing reference-trained checkpoints).
+    canonical_keep_order: bool = True
     norm_pix_loss: bool = False
     dtype: Any = jnp.float32  # transformer compute dtype (bf16 for TPU training)
     use_pallas: bool = True
@@ -259,7 +265,9 @@ class MCM(nn.Module):
         cfg = self.config
         x = self.encoder_embed(imgs)
         x = x + self.encoder_pos_embed[:, 1:, :].astype(x.dtype)
-        x_remain, ids_restore = apply_masking(x, total_scores, cfg.num_keep_patches)
+        x_remain, ids_restore = apply_masking(
+            x, total_scores, cfg.num_keep_patches, canonical=cfg.canonical_keep_order
+        )
         cls = (self.cls_token + self.encoder_pos_embed[:, :1, :]).astype(x.dtype)
         cls = jnp.broadcast_to(cls, (x_remain.shape[0], 1, cls.shape[-1]))
         x_remain = jnp.concatenate([cls, x_remain], axis=1)

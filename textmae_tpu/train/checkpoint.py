@@ -325,6 +325,11 @@ def mcm_torch_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
 
 def load_mcm_torch_checkpoint(params: Dict, path: os.PathLike, config) -> Dict:
     """Reference-trained MCM torch checkpoint -> merged flax params."""
+    if getattr(config, "canonical_keep_order", False):
+        raise ValueError(
+            "reference-trained checkpoints expect the reference's score-ordered "
+            "kept tokens; construct MCMConfig(canonical_keep_order=False)"
+        )
     sd = _load_torch_state_dict(path)
     return merge_pretrained(params, mcm_torch_to_flax(sd, config), strict_shapes=True)
 
