@@ -8,7 +8,7 @@ compress+decompress on v5e; vs_baseline = value / 50.
 Pipeline measured per image (steady state, after warmup/compile):
   score-guided masked ViT encode -> hyperprior -> 12-slice conditional chain
   -> C++ rANS encode -> rANS decode -> slice chain -> ViT decode -> image,
-  including the Huffman-coded ids_restore side info. Host coding threads
+  including the subset-coded ids_restore side info. Host coding threads
   overlap device math across the batch.
 """
 import json

@@ -2,7 +2,7 @@
 
 Behavior parity with /root/reference/testing.py:60-165 — per-image metrics
 (PSNR, MS-SSIM, bpp, enc/dec wall time), bpp accounted as bitstream bytes x 8
-plus the Huffman-coded ids_restore side info over the input pixel count
+plus the entropy-coded ids_restore side info over the input pixel count
 (testing.py:88-89), averaged over the dataset, JSON report.
 
 Fixes applied (documented divergences, SURVEY.md §7):
