@@ -185,3 +185,22 @@ def test_no_weight_decay_mask(vit_setup):
 def test_scaled_lr():
     assert scaled_lr(1e-3, 256) == pytest.approx(1e-3)
     assert scaled_lr(1e-3, 64, accum_iter=2, world=2) == pytest.approx(1e-3)
+
+
+def test_drop_path_train_vs_eval(rng=None):
+    """Stochastic depth: eval is deterministic; training with droppath rng
+    runs and produces different outputs across rngs."""
+    model = VisionTransformer(
+        ViTConfig(**{**TINY_VIT.__dict__, "drop_path": 0.5})
+    )
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.random((4, 3, 64, 64), np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+    e1 = model.apply({"params": params}, imgs)
+    e2 = model.apply({"params": params}, imgs)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))  # eval deterministic
+    t1 = model.apply({"params": params}, imgs, deterministic=False,
+                     rngs={"droppath": jax.random.PRNGKey(1)})
+    t2 = model.apply({"params": params}, imgs, deterministic=False,
+                     rngs={"droppath": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))

@@ -35,6 +35,8 @@ def build_parser():
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--drop_path", type=float, default=0.1,
+                   help="stochastic depth rate (main_finetune.py default)")
     p.add_argument("--global_pool", action="store_true", default=True)
     p.add_argument("--cls_token", dest="global_pool", action="store_false")
     p.add_argument("--seed", type=int, default=0)
@@ -125,6 +127,7 @@ def main(argv=None):
         global_pool=args.global_pool,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         img_size=args.input_size,
+        drop_path=args.drop_path,
     )
 
     rng = jax.random.PRNGKey(seed)

@@ -63,10 +63,16 @@ class VisionTransformer(nn.Module):
             nn.initializers.normal(0.02),
             (1, cfg.num_patches + 1, cfg.embed_dim),
         )
+        # stochastic depth with linearly increasing per-block rate (timm
+        # convention; main_finetune.py --drop_path)
+        rates = [
+            cfg.drop_path * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)
+        ]
         self.blocks = [
             Block(
                 cfg.embed_dim, cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
-                use_pallas=cfg.use_pallas, dtype=dt, name=f"blocks_{i}",
+                use_pallas=cfg.use_pallas, dtype=dt, drop_path=rates[i],
+                name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
         ]
@@ -76,7 +82,9 @@ class VisionTransformer(nn.Module):
             self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         self.head = nn.Dense(cfg.num_classes, name="head") if cfg.num_classes else None
 
-    def forward_features(self, imgs: jnp.ndarray) -> jnp.ndarray:
+    def forward_features(
+        self, imgs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         cfg = self.config
         x = self.patch_embed(imgs)
         cls = jnp.broadcast_to(
@@ -85,15 +93,15 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         for blk in self.blocks:
-            x = blk(x)
+            x = blk(x, deterministic=deterministic)
         if cfg.global_pool:
             x = x[:, 1:, :].mean(axis=1)  # pool patch tokens (models_vit.py:38-41)
             return self.fc_norm(x.astype(jnp.float32))
         x = self.norm(x.astype(jnp.float32))
         return x[:, 0]
 
-    def __call__(self, imgs: jnp.ndarray) -> jnp.ndarray:
-        x = self.forward_features(imgs)
+    def __call__(self, imgs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = self.forward_features(imgs, deterministic=deterministic)
         if self.head is not None:
             x = self.head(x)
         return x

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from textmae_tpu.ops.attention import fused_attention
@@ -80,7 +81,14 @@ class Mlp(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
+    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x)).
+
+    drop_path > 0 enables stochastic depth (timm DropPath; the reference
+    finetune uses rates up to 0.1 via --drop_path, main_finetune.py): during
+    training each residual branch is dropped per-sample with prob `drop_path`
+    and scaled by 1/(1-p) otherwise. Requires an rng under the "droppath"
+    collection and deterministic=False.
+    """
 
     dim: int
     num_heads: int
@@ -89,22 +97,35 @@ class Block(nn.Module):
     use_pallas: bool = True
     dtype: Dtype = jnp.float32
     norm_eps: float = 1e-6
+    drop_path: float = 0.0
+
+    def _drop_path(self, branch: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.drop_path == 0.0 or deterministic:
+            return branch
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("droppath")
+        mask = jax.random.bernoulli(rng, keep, (branch.shape[0], 1, 1))
+        return branch * mask.astype(branch.dtype) / keep
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(
-            self.dim,
-            self.num_heads,
-            qkv_bias=self.qkv_bias,
-            use_pallas=self.use_pallas,
-            dtype=self.dtype,
-            name="attn",
-        )(y)
+        x = x + self._drop_path(
+            Attention(
+                self.dim,
+                self.num_heads,
+                qkv_bias=self.qkv_bias,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name="attn",
+            )(y),
+            deterministic,
+        )
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(
-            self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp"
-        )(y)
+        x = x + self._drop_path(
+            Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y),
+            deterministic,
+        )
         return x
 
 

@@ -113,16 +113,20 @@ def make_classifier_train_step(
     """
 
     def loss_fn(params, imgs, labels, rng):
+        mix_rng, dp_rng = jax.random.split(rng)
         onehot = jax.nn.one_hot(labels, num_classes)
         if label_smoothing > 0:
             onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
         if mixup:
-            imgs, onehot = mixup_cutmix(rng, imgs, onehot, mixup_alpha, cutmix_alpha)
+            imgs, onehot = mixup_cutmix(mix_rng, imgs, onehot, mixup_alpha, cutmix_alpha)
         if frozen_backbone:
             head = params["head"]
             frozen = jax.lax.stop_gradient({k: v for k, v in params.items() if k != "head"})
             params = {**frozen, "head": head}
-        logits = model.apply({"params": params}, imgs)
+        logits = model.apply(
+            {"params": params}, imgs, deterministic=False,
+            rngs={"droppath": dp_rng},
+        )
         return soft_cross_entropy(logits, onehot)
 
     def step(state: TrainState, imgs, labels, rng):
