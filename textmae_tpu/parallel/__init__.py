@@ -14,6 +14,10 @@ from textmae_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from textmae_tpu.parallel.sharding_rules import (
+    shard_params,
+    transformer_param_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +25,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "init_distributed",
+    "shard_params",
+    "transformer_param_shardings",
 ]
