@@ -133,7 +133,7 @@ def main():
     metrics = compute_metrics(imgs, x_hat)
     setup_s = time.time() - t_setup
 
-    reps = int(os.environ.get("BENCH_REPS", "6"))
+    reps = int(os.environ.get("BENCH_REPS", "9"))  # longer window: tunnel RTT jitter
     pipeline = int(os.environ.get("BENCH_PIPELINE", "3"))
     phase_acc["enc"] = phase_acc["dec"] = 0.0
     t0 = time.time()

@@ -11,6 +11,11 @@ Usage:
     it = grain_batch_iterator(dataset, batch_size=32, seed=0, epoch=3,
                               worker_count=8)
     for imgs, scores in it: ...
+
+worker_count=0 (in-process) is the tested default in this build environment:
+grain's forked workers re-run the TPU plugin's sitecustomize and crash under
+the axon tunnel. On standard hosts, worker_count>0 enables process-parallel
+decode.
 """
 from __future__ import annotations
 
