@@ -101,3 +101,30 @@ def test_compress_deterministic(setup):
     np.testing.assert_array_equal(ids1, ids2)
     for a, b in zip(s1, s2):
         assert a.y_string == b.y_string and a.z_string == b.z_string
+
+
+def test_odd_keep_grid_roundtrip():
+    """keep grids not divisible by 4 (e.g. 49 -> 7x7, the 75%-masked config)
+    work: h_s output crops back to the latent grid."""
+    cfg = MCMConfig(
+        img_size=96, encoder_embed_dim=32, encoder_depth=1, encoder_num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        latent_depth=24, hyperprior_depth=16, num_slices=4,
+        num_keep_patches=25, use_pallas=False,
+    )
+    model = MCM(cfg)
+    key = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.random((1, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((1, cfg.num_patches), np.float32))
+    variables = model.init(
+        {"params": key, "noise": key}, imgs, scores, training=False, compute_loss=False
+    )
+    codec = MCMCodec(model, variables)
+    codec.update()
+    streams, ids = codec.compress(imgs, scores)
+    x_hat = codec.decompress(streams, ids)
+    out = model.apply(variables, imgs, scores, training=False, compute_loss=False)
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(out["x_hat"]), rtol=1e-4, atol=1e-4
+    )

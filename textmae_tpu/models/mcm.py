@@ -322,7 +322,11 @@ class MCM(nn.Module):
             x = layer(x)
             if i < len(layers) - 1:
                 x = nn.gelu(x, approximate=False)
-        return x
+        # odd keep grids (e.g. 7 for keep=49 / 75% masked): the two subpel x2
+        # stages overshoot ceil(g/4)*4; crop back to the latent grid. Exact
+        # for grids divisible by 4 (the reference only works for those).
+        g = self.config.keep_grid
+        return x[:, :g, :g, :]
 
     def _split_slices(self, y: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, latent) -> (S, N, H, W, g) matching torch chunk order."""
