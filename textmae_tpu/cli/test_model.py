@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", type=int, default=1,
                    help="overlap this many batches' round trips (throughput mode)")
     p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument("--tiled", action="store_true",
+                   help="full-resolution eval: tile each image into input-size "
+                        "tiles instead of downscaling (eval/tiling.py)")
     p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
     p.add_argument("--save-recon", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -73,7 +76,27 @@ def main(argv=None):
         else:
             name = "untrained"
 
-        if args.entropy_estimation:
+        if args.tiled:
+            import numpy as np
+            from PIL import Image
+
+            from textmae_tpu.eval import MCMCodec as _C
+            from textmae_tpu.eval.tiling import inference_tiled
+
+            codec = MCMCodec(model, variables)
+            codec.update(force=True)
+            agg: dict = {}
+            for f in dataset.files:
+                with Image.open(f) as im:
+                    img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+                res = inference_tiled(codec, img, tile=args.input_size)
+                res.pop("x_hat")
+                if args.verbose:
+                    print(f.name, {k: round(float(v), 4) for k, v in res.items()})
+                for k, v in res.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+            results = {k: v / len(dataset.files) for k, v in agg.items()}
+        elif args.entropy_estimation:
             results = eval_model(
                 model, dataset, entropy_estimation=True, variables=variables,
                 batch_size=args.batch_size, verbose=args.verbose,

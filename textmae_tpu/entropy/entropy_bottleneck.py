@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.special
 
 from textmae_tpu.entropy.tables import CdfTable, pmfs_to_cdf_table
 from textmae_tpu.ops.ste import lower_bound
@@ -159,7 +160,7 @@ def build_eb_tables(variables: dict) -> CdfTable:
     )[:, 0, :]
 
     def sigmoid(x):
-        return 1.0 / (1.0 + np.exp(-x))
+        return scipy.special.expit(x)  # overflow-safe
 
     tail_mass = sigmoid(lower[:, 0]) + sigmoid(-upper[:, -1])
     # zero out positions beyond each channel's pmf_length before table build
