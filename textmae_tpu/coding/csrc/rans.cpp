@@ -295,4 +295,42 @@ int tm_dec_decode_stream(TmDec* d, const int32_t* indexes, int64_t n,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Subset decode: the K-of-L membership walk in one call (the Python-side
+// per-flag loop costs a ctypes round trip per position; this is one).
+// row_map: (K+1)*(L+1) int32, row_map[k_rem*(L+1)+t_rem] = CDF row id for the
+// Bernoulli state (or -1 for unreachable states). member: out uint8[L].
+int tm_dec_decode_subset(TmDec* d, int32_t length, int32_t k, const int32_t* row_map,
+                         const int32_t* cdfs, int32_t ncdfs, int32_t stride,
+                         const int32_t* cdf_lengths, uint8_t* member) {
+  RansDecState& st = d->st;
+  int32_t k_rem = k;
+  int32_t t_rem = length;
+  std::memset(member, 0, length);
+  for (int32_t i = 0; i < length; ++i) {
+    if (k_rem == t_rem) {
+      std::memset(member + i, 1, length - i);
+      break;
+    }
+    if (k_rem > 0) {
+      int32_t row_id = row_map[k_rem * (length + 1) + t_rem];
+      if (row_id < 0 || row_id >= ncdfs) return -1;
+      const int32_t* row = cdfs + static_cast<int64_t>(row_id) * stride;
+      int32_t len = cdf_lengths[row_id];
+      uint32_t dx = st.peek(kProbBits);
+      const int32_t* hi = std::upper_bound(row, row + len, static_cast<int32_t>(dx));
+      int64_t bin = (hi - row) - 1;
+      if (bin < 0 || bin > 1) return -2;  // escape bin never encoded here
+      st.advance(static_cast<uint32_t>(row[bin]),
+                 static_cast<uint32_t>(row[bin + 1] - row[bin]), kProbBits);
+      if (bin == 1) {
+        member[i] = 1;
+        k_rem -= 1;
+      }
+    }
+    t_rem -= 1;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -66,6 +66,13 @@ def _load_lib():
         ctypes.c_void_p, i32p, ctypes.c_int64,
         i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
     ]
+    if hasattr(lib, "tm_dec_decode_subset"):
+        lib.tm_dec_decode_subset.restype = ctypes.c_int
+        lib.tm_dec_decode_subset.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, i32p,
+            i32p, ctypes.c_int32, ctypes.c_int32, i32p,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     lib.tm_pmf_to_quantized_cdf.restype = ctypes.c_int
     lib.tm_pmf_to_quantized_cdf.argtypes = [
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),

@@ -12,14 +12,20 @@ with exact probability k_remaining / total_remaining, known identically to
 encoder and decoder. Each reachable (k_rem, t_rem) state gets its own 2-bin
 quantized CDF row through the same rANS runtime; positions where k_rem == 0
 or k_rem == t_rem are deterministic and coded for free (skipped).
+
+Hot paths: encode computes all state rows with vectorized numpy and issues
+ONE encode call; decode runs the whole sequential walk inside the C++ runtime
+(tm_dec_decode_subset) — one ctypes call per subset (the naive per-flag loop
+costs a tunnel-visible ~50us round trip per position). A Python walk remains
+as the no-toolchain fallback.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from textmae_tpu.coding.rans import RansDecoder, RansEncoder
+from textmae_tpu.coding.rans import RansDecoder, RansEncoder, _load_lib
 
 _ONE = 1 << 16
 
@@ -32,30 +38,29 @@ class SubsetCoder:
             raise ValueError("k must be in [0, length]")
         self.length = length
         self.k = k
-        self._state_row: Dict[Tuple[int, int], int] = {}
+        # row_map[k_rem, t_rem] -> CDF row id (-1 unreachable/deterministic)
+        self.row_map = np.full((k + 1, length + 1), -1, np.int32)
         rows = []
-        # reachable states: t_rem in [1, L], k_rem in [1, t_rem-1] bounded by K
         for t_rem in range(1, length + 1):
             for k_rem in range(max(1, k - (length - t_rem)), min(k, t_rem - 1) + 1):
                 f1 = int(round(_ONE * k_rem / t_rem))
                 f1 = min(max(f1, 1), _ONE - 2)  # leave >=1 slot for bin0 + escape
                 f0 = _ONE - 1 - f1
                 rows.append((0, f0, f0 + f1, _ONE))  # bins: 0, 1, escape(1 slot)
-                self._state_row[(k_rem, t_rem)] = len(rows) - 1
+                self.row_map[k_rem, t_rem] = len(rows) - 1
         self._cdfs = np.asarray(rows, np.int32) if rows else np.zeros((1, 4), np.int32)
         self._lengths = np.full(len(self._cdfs), 4, np.int32)
         self._offsets = np.zeros(len(self._cdfs), np.int32)
 
-    def _walk(self):
-        """Yield (position, row_id) for every non-deterministic position;
-        the caller send()s each membership flag back to advance the state."""
-        k_rem, t_rem = self.k, self.length
-        for i in range(self.length):
-            if 0 < k_rem < t_rem:
-                flag = yield i, self._state_row[(k_rem, t_rem)]
-                if flag:
-                    k_rem -= 1
-            t_rem -= 1
+    def _states(self, member: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized walk: (flags, row ids) for non-deterministic positions."""
+        L = self.length
+        kept_before = np.concatenate([[0], np.cumsum(member[:-1])])
+        k_rem = self.k - kept_before
+        t_rem = L - np.arange(L)
+        active = (k_rem > 0) & (k_rem < t_rem)
+        rows = self.row_map[k_rem[active], t_rem[active]]
+        return member[active].astype(np.int32), rows.astype(np.int32)
 
     def compress(self, kept: np.ndarray) -> bytes:
         kept = np.asarray(kept).reshape(-1)
@@ -65,35 +70,41 @@ class SubsetCoder:
             raise ValueError(f"not a {self.k}-subset of 0..{self.length - 1}")
         member = np.zeros(self.length, bool)
         member[kept] = True
-        symbols, indexes = [], []
-        walker = self._walk()
-        try:
-            i, row = next(walker)
-            while True:
-                symbols.append(int(member[i]))
-                indexes.append(row)
-                i, row = walker.send(bool(member[i]))
-        except StopIteration:
-            pass
+        symbols, indexes = self._states(member)
         enc = RansEncoder()
-        if symbols:
+        if len(symbols):
             enc.encode_with_indexes(
-                np.asarray(symbols, np.int32), np.asarray(indexes, np.int32),
-                self._cdfs, self._lengths, self._offsets,
+                symbols, indexes, self._cdfs, self._lengths, self._offsets
             )
         return enc.flush()
 
     def decompress(self, data: bytes) -> np.ndarray:
         dec = RansDecoder()
         dec.set_stream(data)
-        member = np.zeros(self.length, bool)
+        lib = _load_lib()
+        if getattr(dec, "_native", False) and lib and hasattr(lib, "tm_dec_decode_subset"):
+            import ctypes
+
+            member = np.zeros(self.length, np.uint8)
+            rc = lib.tm_dec_decode_subset(
+                dec._dec, self.length, self.k,
+                np.ascontiguousarray(self.row_map),
+                self._cdfs, len(self._cdfs), self._cdfs.shape[1],
+                self._lengths,
+                member.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if rc != 0:
+                raise ValueError(f"subset decode failed (rc={rc})")
+            return np.nonzero(member)[0].astype(np.int64)
+        # Python fallback: per-flag walk
+        member_b = np.zeros(self.length, bool)
         k_rem, t_rem = self.k, self.length
         for i in range(self.length):
-            if k_rem == t_rem:  # everything remaining is kept
-                member[i:] = True
+            if k_rem == t_rem:
+                member_b[i:] = True
                 break
             if k_rem > 0:
-                row = self._state_row[(k_rem, t_rem)]
+                row = int(self.row_map[k_rem, t_rem])
                 flag = int(
                     dec.decode_stream(
                         np.asarray([row], np.int32),
@@ -101,10 +112,10 @@ class SubsetCoder:
                     )[0]
                 )
                 if flag:
-                    member[i] = True
+                    member_b[i] = True
                     k_rem -= 1
             t_rem -= 1
-        return np.nonzero(member)[0].astype(np.int64)
+        return np.nonzero(member_b)[0].astype(np.int64)
 
 
 def ids_restore_from_kept(kept: np.ndarray, length: int) -> np.ndarray:
