@@ -13,7 +13,9 @@ from pathlib import Path
 
 _HERE = Path(__file__).resolve().parent
 SRC = _HERE / "csrc" / "rans.cpp"
-LIB = _HERE / "_tm_rans.so"
+# artifact lives in csrc/ (not a package dir): a bare .so in the package
+# looks like an importable extension module to pkgutil and breaks walks
+LIB = _HERE / "csrc" / "_tm_rans.so"
 
 
 def build(force: bool = False) -> Path:
