@@ -128,3 +128,35 @@ def test_odd_keep_grid_roundtrip():
     np.testing.assert_allclose(
         np.asarray(x_hat), np.asarray(out["x_hat"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_int8_wire_escape_path(setup):
+    """Symbols outside [-127, 127] ride the escape sidecar of the int8 wire
+    (both directions) without corrupting the stream: shift every quantized
+    symbol by +200 and require decompress(compress(x)) to reproduce the same
+    symbols bit-exactly (the shifted chain is shared by both directions, so
+    the roundtrip is still deterministic even though x_hat is nonsense)."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+
+    orig_qs, orig_qt = codec._quantize_slice, codec._quantize_tail
+    codec._quantize_slice = lambda v, y, mu, i: (
+        lambda s, o: (s + jnp.int16(200), o)
+    )(*orig_qs(v, y, mu, i))
+    codec._quantize_tail = lambda v, y, mu: (
+        lambda s, o: (s + jnp.int16(200), o)
+    )(*orig_qt(v, y, mu))
+
+    s1, ids1 = codec.compress(imgs, scores)
+    s2, ids2 = codec.compress(imgs, scores)
+    for a, b in zip(s1, s2):
+        assert a.y_string == b.y_string and a.z_string == b.z_string
+    x1 = codec.decompress(s1, ids1)
+    x2 = codec.decompress(s2, ids2)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    # streams must actually be longer than the unshifted ones (bypass coding)
+    codec2 = MCMCodec(model, variables)
+    codec2.update()
+    s0, _ = codec2.compress(imgs, scores)
+    assert sum(len(s.y_string) for s in s1) > sum(len(s.y_string) for s in s0)

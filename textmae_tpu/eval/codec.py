@@ -49,6 +49,11 @@ from textmae_tpu.entropy.tables import CdfTable
 from textmae_tpu.models.mcm import MCM
 
 
+def _esc_capacity(n_payload: int) -> int:
+    """Escape-sidecar slots for an n_payload-symbol int8 wire transfer."""
+    return min(4096, int(n_payload))
+
+
 @dataclasses.dataclass
 class CompressedImage:
     """One image's bitstream: y (slices) string, z (hyper) string, z grid shape."""
@@ -141,9 +146,49 @@ class MCMCodec:
         )
 
         def _pack(syms, idxs, z_sym, ids_restore, overflow):
-            # single D2H buffer: [int16 payload as bytes | uint8 indexes] —
-            # each separate host transfer costs a full tunnel RTT (~40ms).
-            # The overflow flag rides along as the first int16.
+            # single D2H buffer with an int8 symbol payload — quantized
+            # residuals are overwhelmingly in [-127, 127], so shipping them
+            # as int8 halves the dominant transfer; the rare out-of-range
+            # values ride in a fixed-size (pos, val) escape sidecar. Layout:
+            #   [int16: flag, esc_count, esc_val[K], ids_restore]
+            #   [int32 bytes: esc_pos[K]] [int8 bytes: sym|z payload]
+            #   [uint8: indexes]
+            # flag != 0 => sidecar overflowed or symbols exceeded int16; the
+            # host then falls back to the wide (int16) packing.
+            k = _esc_capacity(syms.size + z_sym.size)
+            pay = jnp.concatenate(
+                [syms.reshape(-1).astype(jnp.int32), z_sym.reshape(-1).astype(jnp.int32)]
+            )
+            pay8 = jnp.clip(pay, -127, 127).astype(jnp.int8)
+            esc_mask = pay != pay8.astype(jnp.int32)
+            esc_count = jnp.sum(esc_mask).astype(jnp.int32)
+            (esc_pos,) = jnp.nonzero(esc_mask, size=k, fill_value=0)
+            esc_pos = esc_pos.astype(jnp.int32)
+            esc_val = pay[esc_pos].astype(jnp.int16)
+            wide = jnp.sum((pay > 32767) | (pay < -32768)).astype(jnp.int32)
+            flag = ((overflow + wide > 0) | (esc_count > k)).astype(jnp.int16)
+            i16 = jnp.concatenate(
+                [
+                    flag.reshape(1),
+                    jnp.minimum(esc_count, k).astype(jnp.int16).reshape(1),
+                    esc_val,
+                    ids_restore.astype(jnp.int16).reshape(-1),
+                ]
+            )
+            return jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(i16, jnp.uint8).reshape(-1),
+                    jax.lax.bitcast_convert_type(esc_pos, jnp.uint8).reshape(-1),
+                    jax.lax.bitcast_convert_type(pay8, jnp.uint8).reshape(-1),
+                    idxs.reshape(-1),
+                ]
+            )
+
+        self._pack = jax.jit(_pack)
+
+        def _pack_wide(syms, idxs, z_sym, ids_restore, overflow):
+            # fallback: full int16 payload (first int16 = symbols-exceeded-
+            # int16 flag); used only when the escape sidecar overflows
             i16 = jnp.concatenate(
                 [
                     jnp.clip(overflow, 0, 1).astype(jnp.int16).reshape(1),
@@ -155,7 +200,12 @@ class MCMCodec:
             b = jax.lax.bitcast_convert_type(i16, jnp.uint8).reshape(-1)
             return jnp.concatenate([b, idxs.reshape(-1)])
 
-        self._pack = jax.jit(_pack)
+        self._pack_wide = jax.jit(_pack_wide)
+        # canonical-dtype widening for the int8 H2D wire: the downstream
+        # per-slice programs must see the SAME input dtypes in compress and
+        # decompress (bit-identity), so the wire narrows/widens around them
+        self._widen16 = jax.jit(lambda a: a.astype(jnp.int16))
+        self._widen32 = jax.jit(lambda a: a.astype(jnp.int32))
 
     # ------------------------------------------------------------------
     def update(self, force: bool = False) -> None:
@@ -166,6 +216,18 @@ class MCMCodec:
         self.eb_tables = build_eb_tables(
             self.variables["params"]["entropy_bottleneck"]
         )
+
+    def _h2d_sym(self, sym_np: np.ndarray, widen) -> jnp.ndarray:
+        """Host->device symbols over an int8 wire when values allow.
+
+        `widen` restores the canonical dtype on device so the downstream
+        per-slice programs are the same compiled programs compress uses
+        (bit-identity across directions); the wire is just narrower.
+        """
+        small = np.clip(sym_np, -127, 127)
+        if np.array_equal(small, sym_np):
+            return widen(jnp.asarray(small.astype(np.int8)))
+        return jnp.asarray(sym_np)
 
     def _require_tables(self):
         if self.gauss_tables is None or self.eb_tables is None:
@@ -234,23 +296,51 @@ class MCMCodec:
         n_sym = int(np.prod(sym_shape))
         n_z = int(np.prod(z_shape_full))
         n_ids = n * cfg.num_patches
-        n_i16 = 1 + n_sym + n_z + n_ids
+        n_pay = n_sym + n_z
+        k = _esc_capacity(n_pay)
 
         packed = np.asarray(
             self._pack(syms_d, idxs_d, z_sym_d, front["ids_restore"], overflow_d)
         )
-        i16 = packed[: 2 * n_i16].view(np.int16)
+        len16 = 2 + k + n_ids
+        i16 = packed[: 2 * len16].view(np.int16)
         if i16[0]:
-            raise OverflowError(
-                "quantized symbols exceeded int16 range — the model has "
-                "numerically diverged; refusing to emit a corrupt stream"
+            # sidecar overflow or int16 overflow: re-transfer wide (rare)
+            n_i16 = 1 + n_sym + n_z + n_ids
+            packed = np.asarray(
+                self._pack_wide(
+                    syms_d, idxs_d, z_sym_d, front["ids_restore"], overflow_d
+                )
             )
-        symbols = i16[1 : 1 + n_sym].reshape(sym_shape)
-        z_sym = i16[1 + n_sym : 1 + n_sym + n_z].reshape(z_shape_full).astype(np.int32)
-        ids_restore = (
-            i16[1 + n_sym + n_z :].reshape(n, cfg.num_patches).astype(np.int64)
-        )
-        indexes = packed[2 * n_i16 :].reshape(sym_shape)
+            w16 = packed[: 2 * n_i16].view(np.int16)
+            if w16[0]:
+                raise OverflowError(
+                    "quantized symbols exceeded int16 range — the model has "
+                    "numerically diverged; refusing to emit a corrupt stream"
+                )
+            symbols = w16[1 : 1 + n_sym].reshape(sym_shape)
+            z_sym = (
+                w16[1 + n_sym : 1 + n_sym + n_z].reshape(z_shape_full).astype(np.int32)
+            )
+            ids_restore = (
+                w16[1 + n_sym + n_z :].reshape(n, cfg.num_patches).astype(np.int64)
+            )
+            indexes = packed[2 * n_i16 :].reshape(sym_shape)
+        else:
+            count = int(i16[1])
+            esc_val = i16[2 : 2 + k]
+            ids_restore = (
+                i16[2 + k :].reshape(n, cfg.num_patches).astype(np.int64)
+            )
+            o = 2 * len16
+            esc_pos = packed[o : o + 4 * k].view(np.int32)
+            o += 4 * k
+            pay = packed[o : o + n_pay].view(np.int8).astype(np.int32)
+            o += n_pay
+            pay[esc_pos[:count]] = esc_val[:count]
+            symbols = pay[:n_sym].reshape(sym_shape)
+            z_sym = pay[n_sym:].reshape(z_shape_full)
+            indexes = packed[o:].reshape(sym_shape)
 
         gt, et = self.gauss_tables, self.eb_tables
         cz = z_sym.shape[-1]
@@ -301,7 +391,9 @@ class MCMCodec:
             z_sym[i] = dec.decode_stream(
                 z_indexes, et.quantized_cdf, et.cdf_length, et.offset
             ).reshape(hz, wz, cz)
-        latent_means, latent_scales = self._hyper(self.variables, jnp.asarray(z_sym))
+        latent_means, latent_scales = self._hyper(
+            self.variables, self._h2d_sym(z_sym, self._widen32)
+        )
 
         g = cfg.group_ch
         grid = cfg.keep_grid
@@ -322,7 +414,7 @@ class MCMCodec:
                 sym[j] = d.decode_stream(
                     index_np[j], gt.quantized_cdf, gt.cdf_length, gt.offset
                 ).reshape(grid, grid, g)
-            return jnp.asarray(sym)
+            return self._h2d_sym(sym, self._widen16)
 
         head = cfg.max_support
         # head: sequential context chain with host decode between slices
@@ -352,7 +444,7 @@ class MCMCodec:
                 sym_t[t, j] = d.decode_stream(
                     index_np[t, j], gt.quantized_cdf, gt.cdf_length, gt.offset
                 ).reshape(grid, grid, g)
-        y_tail = self._tail_update(v, ms_t, mu_t, jnp.asarray(sym_t))
+        y_tail = self._tail_update(v, ms_t, mu_t, self._h2d_sym(sym_t, self._widen16))
         y_slices.extend(y_tail[t] for t in range(tail))
 
         y_hat = jnp.concatenate(y_slices, axis=-1)
