@@ -5,7 +5,7 @@ from PIL import Image
 
 from textmae_tpu.cli.generate_scores import process_dataset
 from textmae_tpu.cli.train import build_parser as train_parser
-from textmae_tpu.cli.test_model import build_parser as test_parser
+from textmae_tpu.cli.test_model import build_parser as eval_cli_parser
 from textmae_tpu.cli.mae_pretrain import build_parser as pretrain_parser
 from textmae_tpu.cli.mae_finetune import build_parser as finetune_parser
 from textmae_tpu.cli.mae_linprobe import build_parser as linprobe_parser
@@ -25,7 +25,7 @@ def test_train_parser_defaults():
 
 
 def test_test_parser_defaults():
-    args = test_parser().parse_args(["-d", "x"])
+    args = eval_cli_parser().parse_args(["-d", "x"])
     assert args.batch_size == 1  # testing.py:143
     assert not args.entropy_estimation
 

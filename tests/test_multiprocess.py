@@ -1,0 +1,69 @@
+"""Real multi-process jax.distributed smoke test (SURVEY.md §4, §5).
+
+The unit suite's virtual 8-device mesh exercises SPMD semantics inside one
+process; this test crosses an actual process boundary: two OS processes, each
+with 2 virtual CPU devices, form one global ("data", 4) mesh via
+jax.distributed + gloo collectives (the CI analog of a 2-host TPU slice over
+DCN; reference's equivalent is torch.distributed NCCL init,
+/root/reference/models/MAE/util/misc.py:216-248) and run real MCM train steps.
+
+Checks:
+  * both processes converge on bit-identical global metrics and params,
+  * the 2-process run matches a single-process run over the same 4-device
+    global topology and batch (process count is an implementation detail).
+"""
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).parent / "mp_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nproc: int, tmp_path: Path, timeout: float = 600.0):
+    port = _free_port()
+    procs, outs = [], []
+    for p in range(nproc):
+        out = tmp_path / f"mp_out_{nproc}_{p}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(WORKER), str(p), str(nproc), str(port), str(out)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                cwd=str(WORKER.parent.parent),
+            )
+        )
+    results = []
+    for proc, out in zip(procs, outs):
+        stdout, _ = proc.communicate(timeout=timeout)
+        assert proc.returncode == 0, f"worker failed:\n{stdout.decode()[-3000:]}"
+        results.append(json.loads(out.read_text()))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    two = _run_workers(2, tmp_path)
+    assert all(r["num_processes"] == 2 and r["global_devices"] == 4 for r in two)
+    # both processes see identical global metrics and identical final params
+    assert two[0]["losses"] == two[1]["losses"]
+    assert two[0]["param_sum"] == two[1]["param_sum"]
+    assert all(np.isfinite(v) for v in two[0]["losses"])
+
+    one = _run_workers(1, tmp_path)[0]
+    assert one["num_processes"] == 1 and one["global_devices"] == 4
+    # same global computation; gloo reduction order may differ from the
+    # single-process reduction order, so allow float-roundoff noise
+    np.testing.assert_allclose(one["losses"], two[0]["losses"], rtol=1e-5)
+    np.testing.assert_allclose(one["param_sum"], two[0]["param_sum"], rtol=1e-5)
