@@ -17,13 +17,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def init_distributed(**kwargs) -> None:
     """Multi-process init (torch init_process_group analog, util/misc.py:216-248).
 
-    No-op when single-process (the common case under a single host with many
-    chips — JAX already sees all local devices).
+    Rendezvous comes from explicit kwargs or the JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars that cli.launch exports
+    (jax.distributed.initialize only auto-detects scheduler environments like
+    SLURM/OMPI/TPU pods, not these). No-op when single-process (the common
+    case under a single host with many chips — JAX already sees all local
+    devices).
     """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+    elif "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
 
 
 def make_mesh(
