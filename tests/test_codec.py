@@ -160,3 +160,16 @@ def test_int8_wire_escape_path(setup):
     codec2.update()
     s0, _ = codec2.compress(imgs, scores)
     assert sum(len(s.y_string) for s in s1) > sum(len(s.y_string) for s in s0)
+
+
+def test_pack6_roundtrip():
+    """6-bit index wire: device pack -> host unpack is the identity for
+    values < 64, at every length mod 4."""
+    from textmae_tpu.eval.codec import _pack6_device, _packed6_len, _unpack6_host
+
+    r = np.random.default_rng(3)
+    for n in (1, 2, 3, 4, 5, 7, 64, 1023):
+        idx = r.integers(0, 64, n).astype(np.uint8)
+        wire = np.asarray(_pack6_device(jnp.asarray(idx)))
+        assert wire.size == _packed6_len(n) == 3 * ((n + 3) // 4)
+        np.testing.assert_array_equal(_unpack6_host(wire, n), idx)

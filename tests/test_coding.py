@@ -230,3 +230,47 @@ def test_permutation_coder_large_and_odd(rng):
         coder = PermutationCoder(L)
         perm = rng.permutation(L)
         np.testing.assert_array_equal(coder.decompress(coder.compress(perm)), perm)
+
+
+def test_entropy_coder_registry():
+    """set_entropy_coder switches the process default backend; the python
+    mirror produces byte-identical streams (testing.py:176-179 parity)."""
+    import numpy as np
+
+    from textmae_tpu.coding import (
+        RansDecoder,
+        RansEncoder,
+        available_entropy_coders,
+        get_entropy_coder,
+        set_entropy_coder,
+    )
+    from textmae_tpu.entropy.gaussian import build_gaussian_tables, get_scale_table
+
+    assert "rans" in available_entropy_coders()
+    t = build_gaussian_tables(get_scale_table()[:8])
+    r = np.random.default_rng(0)
+    sym = r.integers(-20, 20, 256).astype(np.int32)
+    idx = r.integers(0, 8, 256).astype(np.int32)
+
+    def encode():
+        enc = RansEncoder()
+        enc.encode_with_indexes(sym, idx, t.quantized_cdf, t.cdf_length, t.offset)
+        return enc.flush()
+
+    default = encode()
+    try:
+        set_entropy_coder("rans-python")
+        assert get_entropy_coder() == "rans-python"
+        py_stream = encode()
+        assert py_stream == default  # same wire format either way
+        dec = RansDecoder()  # python-backed under the current default
+        dec.set_stream(default)
+        out = dec.decode_stream(idx, t.quantized_cdf, t.cdf_length, t.offset)
+        np.testing.assert_array_equal(out, sym)
+    finally:
+        set_entropy_coder("rans")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        set_entropy_coder("nope")

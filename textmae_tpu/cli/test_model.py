@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", type=int, default=1,
                    help="overlap this many batches' round trips (throughput mode)")
     p.add_argument("--entropy-estimation", action="store_true")
+    from textmae_tpu.coding import available_entropy_coders
+
+    p.add_argument("--entropy-coder", type=str, default="rans",
+                   choices=available_entropy_coders(),
+                   help="bitstream coder backend (testing.py:176-179 parity)")
     p.add_argument("--tiled", action="store_true",
                    help="full-resolution eval: tile each image into input-size "
                         "tiles instead of downscaling (eval/tiling.py)")
@@ -40,6 +45,7 @@ def main(argv=None):
 
     import jax
 
+    from textmae_tpu.coding import set_entropy_coder
     from textmae_tpu.data import ImageScoreDataset
     from textmae_tpu.eval import MCMCodec, eval_model
     from textmae_tpu.eval.harness import write_report
@@ -47,6 +53,7 @@ def main(argv=None):
     from textmae_tpu.train import TrainState, configure_optimizers
     from textmae_tpu.train.checkpoint import restore_checkpoint
 
+    set_entropy_coder(args.entropy_coder)
     dataset = ImageScoreDataset(args.dataset, "test", img_size=args.input_size)
 
     cfg = MCMConfig(
@@ -113,7 +120,11 @@ def main(argv=None):
             )
         all_results[name] = results
 
-    desc = "entropy estimation" if args.entropy_estimation else "Inference (rans)"
+    desc = (
+        "entropy estimation"
+        if args.entropy_estimation
+        else f"Inference ({args.entropy_coder})"
+    )
     report = write_report(all_results, Path(args.output_path + "_report.txt")
                           if not Path(args.output_path).is_dir()
                           else Path(args.output_path) / "report.txt", desc)

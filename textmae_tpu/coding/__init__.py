@@ -7,8 +7,11 @@ toolchain is unavailable.
 from textmae_tpu.coding.rans import (
     RansDecoder,
     RansEncoder,
+    available_entropy_coders,
+    get_entropy_coder,
     native_available,
     pmf_to_quantized_cdf_native,
+    set_entropy_coder,
 )
 from textmae_tpu.coding.huffman import HuffmanCoder, HuffmanPayload
 from textmae_tpu.coding.permutation import PermutationCoder
@@ -16,6 +19,9 @@ from textmae_tpu.coding.permutation import PermutationCoder
 __all__ = [
     "RansEncoder",
     "RansDecoder",
+    "available_entropy_coders",
+    "get_entropy_coder",
+    "set_entropy_coder",
     "native_available",
     "pmf_to_quantized_cdf_native",
     "HuffmanCoder",

@@ -86,6 +86,33 @@ def native_available() -> bool:
     return bool(_load_lib())
 
 
+# --------------------------------------------------------------------------
+# Coder registry (testing.py:176-179/208 parity: compressai's
+# available_entropy_coders() / set_entropy_coder() CLI surface)
+# --------------------------------------------------------------------------
+_DEFAULT_CODER = "rans"
+
+
+def available_entropy_coders() -> List[str]:
+    """Selectable coder backends: "rans" (C++ when built, else the Python
+    mirror) and "rans-python" (force the mirror; same stream format)."""
+    return ["rans", "rans-python"]
+
+
+def set_entropy_coder(name: str) -> None:
+    """Set the process-wide default backend for RansEncoder/RansDecoder."""
+    if name not in available_entropy_coders():
+        raise ValueError(
+            f"unknown entropy coder {name!r}; available: {available_entropy_coders()}"
+        )
+    global _DEFAULT_CODER
+    _DEFAULT_CODER = name
+
+
+def get_entropy_coder() -> str:
+    return _DEFAULT_CODER
+
+
 def _as_i32(a) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(a).reshape(-1), dtype=np.int32)
 
@@ -188,6 +215,7 @@ class RansEncoder:
     """Buffered multi-call encoder; flush() emits one stream for all calls."""
 
     def __init__(self, force_python: bool = False):
+        force_python = force_python or _DEFAULT_CODER == "rans-python"
         self._native = native_available() and not force_python
         if self._native:
             self._lib = _load_lib()
@@ -228,6 +256,7 @@ class RansDecoder:
     """Streaming decoder; state persists across decode_stream calls."""
 
     def __init__(self, force_python: bool = False):
+        force_python = force_python or _DEFAULT_CODER == "rans-python"
         self._native = native_available() and not force_python
         if self._native:
             self._lib = _load_lib()

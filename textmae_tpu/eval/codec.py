@@ -54,6 +54,48 @@ def _esc_capacity(n_payload: int) -> int:
     return min(4096, int(n_payload))
 
 
+def _pack6_device(idx: jnp.ndarray) -> jnp.ndarray:
+    """Pack uint8 scale indexes (< 64) into 6-bit fields: 4 indexes -> 3 bytes.
+
+    Integer-exact repack of the per-slice programs' index OUTPUT (applied as a
+    separate jit so the shared encode/decode programs themselves are
+    untouched); the host unpacks with _unpack6_host. Pads to a multiple of 4.
+    """
+    flat = idx.reshape(-1)
+    pad = (-flat.size) % 4
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.uint8)])
+    q = flat.reshape(-1, 4)
+    a, b, c, d = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            a | ((b & 3) << 6),
+            (b >> 2) | ((c & 15) << 4),
+            (c >> 4) | (d << 2),
+        ],
+        axis=1,
+    ).reshape(-1)
+
+
+def _packed6_len(n: int) -> int:
+    return 3 * ((n + 3) // 4)
+
+
+def _unpack6_host(buf: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _pack6_device: (3*ceil(n/4),) uint8 bytes -> (n,) indexes."""
+    t = buf.reshape(-1, 3)
+    b0, b1, b2 = t[:, 0], t[:, 1], t[:, 2]
+    return np.stack(
+        [
+            b0 & 63,
+            (b0 >> 6) | ((b1 & 15) << 2),
+            (b1 >> 4) | ((b2 & 3) << 4),
+            b2 >> 2,
+        ],
+        axis=1,
+    ).reshape(-1)[:n]
+
+
 @dataclasses.dataclass
 class CompressedImage:
     """One image's bitstream: y (slices) string, z (hyper) string, z grid shape."""
@@ -81,6 +123,9 @@ class MCMCodec:
 
         st = jnp.asarray(self.scale_table)
         med = jnp.asarray(self._medians)
+        # 64-entry scale table -> 6-bit indexes: 4 indexes per 3 wire bytes
+        self._idx6 = len(self.scale_table) <= 64
+        self._pack6 = jax.jit(_pack6_device)
 
         self._front = jax.jit(
             lambda v, imgs, scores: model.apply(v, imgs, scores, method=MCM.encode_front)
@@ -175,12 +220,13 @@ class MCMCodec:
                     ids_restore.astype(jnp.int16).reshape(-1),
                 ]
             )
+            idx_wire = _pack6_device(idxs) if self._idx6 else idxs.reshape(-1)
             return jnp.concatenate(
                 [
                     jax.lax.bitcast_convert_type(i16, jnp.uint8).reshape(-1),
                     jax.lax.bitcast_convert_type(esc_pos, jnp.uint8).reshape(-1),
                     jax.lax.bitcast_convert_type(pay8, jnp.uint8).reshape(-1),
-                    idxs.reshape(-1),
+                    idx_wire,
                 ]
             )
 
@@ -216,6 +262,13 @@ class MCMCodec:
         self.eb_tables = build_eb_tables(
             self.variables["params"]["entropy_bottleneck"]
         )
+
+    def _idx_to_host(self, index: jnp.ndarray) -> np.ndarray:
+        """Device scale indexes -> host uint8 array over the 6-bit wire."""
+        if not self._idx6:
+            return np.asarray(index)
+        n = int(np.prod(index.shape))
+        return _unpack6_host(np.asarray(self._pack6(index)), n).reshape(index.shape)
 
     def _h2d_sym(self, sym_np: np.ndarray, widen) -> jnp.ndarray:
         """Host->device symbols over an int8 wire when values allow.
@@ -340,7 +393,10 @@ class MCMCodec:
             pay[esc_pos[:count]] = esc_val[:count]
             symbols = pay[:n_sym].reshape(sym_shape)
             z_sym = pay[n_sym:].reshape(z_shape_full)
-            indexes = packed[o:].reshape(sym_shape)
+            if self._idx6:
+                indexes = _unpack6_host(packed[o:], n_sym).reshape(sym_shape)
+            else:
+                indexes = packed[o:].reshape(sym_shape)
 
         gt, et = self.gauss_tables, self.eb_tables
         cz = z_sym.shape[-1]
@@ -408,7 +464,7 @@ class MCMCodec:
         y_slices = []
 
         def host_decode(index) -> jnp.ndarray:
-            index_np = np.asarray(index)
+            index_np = self._idx_to_host(index)
             sym = np.empty((n, grid, grid, g), np.int16)
             for j, d in enumerate(decs):
                 sym[j] = d.decode_stream(
@@ -437,7 +493,7 @@ class MCMCodec:
         # tail: one dispatch + one host round trip for all remaining slices
         tail = cfg.num_slices - head
         mu_t, index_t, ms_t = self._tail_params(v, buf, latent_means, latent_scales)
-        index_np = np.asarray(index_t)  # (T, N, h, w, g)
+        index_np = self._idx_to_host(index_t)  # (T, N, h, w, g)
         sym_t = np.empty((tail, n, grid, grid, g), np.int16)
         for j, d in enumerate(decs):  # stream order: slice-major within image
             for t in range(tail):
