@@ -1,0 +1,200 @@
+"""Container format + batched serving daemon tests."""
+import io
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from textmae_tpu.eval import MCMCodec, container
+from textmae_tpu.eval.harness import code_side_info, decode_side_info
+from textmae_tpu.models.mcm import MCM, MCMConfig
+
+TINY = MCMConfig(
+    img_size=96,
+    encoder_embed_dim=32,
+    encoder_depth=2,
+    encoder_num_heads=2,
+    decoder_embed_dim=16,
+    decoder_depth=1,
+    decoder_num_heads=2,
+    latent_depth=24,
+    hyperprior_depth=16,
+    num_slices=4,
+    num_keep_patches=16,
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MCM(TINY)
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.random((2, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((2, TINY.num_patches), np.float32))
+    variables = model.init(
+        {"params": rng, "noise": rng}, imgs, scores, training=False, compute_loss=False
+    )
+    return model, variables, imgs, scores
+
+
+def test_container_roundtrip(setup):
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    streams, ids = codec.compress(imgs, scores)
+    payloads, ids_dec = code_side_info(
+        ids, TINY.num_keep_patches, TINY.canonical_keep_order
+    )
+    blob = container.pack_image(streams[0], payloads[0], TINY, orig_size=(123, 45))
+    stream2, side2, meta = container.unpack_image(blob)
+    assert stream2.y_string == streams[0].y_string
+    assert stream2.z_string == streams[0].z_string
+    assert stream2.z_shape == streams[0].z_shape
+    assert side2 == payloads[0]
+    assert meta["orig_size"] == (123, 45)
+    container.check_compatible(meta, TINY)
+    # the side payload decodes to the same ids_restore row
+    np.testing.assert_array_equal(
+        decode_side_info(
+            side2, TINY.num_patches, TINY.num_keep_patches, TINY.canonical_keep_order
+        ),
+        ids_dec[0],
+    )
+
+
+def test_container_rejects_corruption(setup):
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    streams, ids = codec.compress(imgs, scores)
+    payloads, _ = code_side_info(ids, TINY.num_keep_patches, TINY.canonical_keep_order)
+    blob = container.pack_image(streams[0], payloads[0], TINY)
+    with pytest.raises(ValueError):
+        container.unpack_image(b"XXXX" + blob[4:])  # bad magic
+    with pytest.raises(ValueError):
+        container.unpack_image(blob[:10])  # truncated header
+    with pytest.raises(ValueError):
+        container.unpack_image(blob + b"junk")  # length mismatch
+    _, _, meta = container.unpack_image(blob)
+    other = MCMConfig(
+        img_size=96, encoder_embed_dim=32, encoder_depth=1, encoder_num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        latent_depth=24, hyperprior_depth=16, num_slices=4,
+        num_keep_patches=25, use_pallas=False,
+    )
+    with pytest.raises(ValueError):
+        container.check_compatible(meta, other)
+
+
+def _png_bytes(arr_hwc_f01: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray((arr_hwc_f01 * 255).astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def service(setup):
+    from textmae_tpu.cli.serve import CodecService
+
+    model, variables, _, _ = setup
+    return CodecService(model, variables, max_batch=2, batch_window_ms=20.0)
+
+
+def test_service_compress_matches_direct_codec(setup, service):
+    """The served container carries exactly the streams the codec produces
+    for the same (image, score-pipeline) inputs — serving adds batching and
+    wire format, not math."""
+    from textmae_tpu.data.score_maps import total_score_for_image
+
+    model, variables, _, _ = setup
+    r = np.random.default_rng(7)
+    img = r.random((96, 96, 3)).astype(np.float32)
+    png = _png_bytes(img)
+
+    blob = service.compress(png)
+    stream, side, meta = container.unpack_image(blob)
+
+    # recompute what the service saw (PNG quantizes to uint8)
+    with Image.open(io.BytesIO(png)) as im:
+        gray = np.asarray(im.convert("L"))
+        rgb = np.asarray(im.convert("RGB").resize((96, 96), Image.BICUBIC))
+    x = (rgb.astype(np.float32) / 255.0).transpose(2, 0, 1)
+    sc = total_score_for_image(gray, (96, 96))
+    codec = MCMCodec(model, variables)
+    codec.update()
+    imgs2 = jnp.asarray(np.stack([x, x]))  # service pads the batch to 2
+    scores2 = jnp.asarray(np.stack([sc, sc]).astype(np.float32))
+    streams, _ = codec.compress(imgs2, scores2)
+    assert stream.y_string == streams[0].y_string
+    assert stream.z_string == streams[0].z_string
+
+    out_png = service.decompress(blob)
+    with Image.open(io.BytesIO(out_png)) as im:
+        assert im.size == (96, 96)
+
+
+def test_service_batches_concurrent_requests(service):
+    r = np.random.default_rng(8)
+    pngs = [_png_bytes(r.random((96, 96, 3)).astype(np.float32)) for _ in range(4)]
+    with ThreadPoolExecutor(4) as pool:
+        blobs = list(pool.map(service.compress, pngs))
+    assert all(b[:4] == container.MAGIC for b in blobs)
+    stats = service.snapshot_stats()
+    assert stats["compress_requests"] >= 4
+    assert max(stats["batch_sizes"]) >= 2  # at least one coalesced batch
+
+
+def test_service_error_isolated(service):
+    with pytest.raises(ValueError):
+        service.decompress(b"not a container")
+    # the service keeps working afterwards
+    r = np.random.default_rng(9)
+    blob = service.compress(_png_bytes(r.random((96, 96, 3)).astype(np.float32)))
+    assert blob[:4] == container.MAGIC
+
+
+def test_http_endpoints(setup, service):
+    import http.client
+
+    from textmae_tpu.cli.serve import make_handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+
+        r = np.random.default_rng(10)
+        png = _png_bytes(r.random((96, 96, 3)).astype(np.float32))
+        conn.request("POST", "/compress", body=png)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        blob = resp.read()
+        assert blob[:4] == container.MAGIC
+
+        conn.request("POST", "/decompress", body=blob)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with Image.open(io.BytesIO(resp.read())) as im:
+            assert im.size == (96, 96)
+
+        conn.request("POST", "/decompress", body=b"garbage")
+        assert conn.getresponse().status == 400
+
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["compress_requests"] >= 1
+    finally:
+        server.shutdown()
+        server.server_close()

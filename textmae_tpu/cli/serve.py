@@ -1,0 +1,304 @@
+"""Batched compression service: HTTP daemon around MCMCodec.
+
+Production-serving surface the reference lacks (its eval loop is batch-1
+offline, /root/reference/testing.py:128-165). Design points, TPU-shaped:
+
+  * dynamic batching — concurrent requests are coalesced into one device
+    batch (up to --max-batch, waiting --batch-window-ms for stragglers), so
+    the MXU sees full batches instead of per-request singles;
+  * static shapes — device batches are PADDED to exactly --max-batch, so XLA
+    compiles each direction once (a varying batch dim would recompile per
+    distinct size);
+  * the wire format is the self-describing container (eval/container.py):
+    POST /compress    image file (PNG/JPEG/...) -> container blob
+    POST /decompress  container blob            -> PNG reconstruction
+    GET  /healthz     liveness + backend
+    GET  /stats       request counters, batch-size histogram, latencies.
+
+Run: python -m textmae_tpu.cli.serve --port 8080 [-p checkpoint]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from collections import Counter
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Serve MCM compression over HTTP.")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("-p", "--path", type=str, default=None, help="checkpoint to serve")
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
+    return p
+
+
+class _Request:
+    __slots__ = ("data", "event", "result", "error")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.event = threading.Event()
+        self.result: Optional[bytes] = None
+        self.error: Optional[Exception] = None
+
+
+class CodecService:
+    """Dynamic-batching wrapper around MCMCodec (one worker per direction)."""
+
+    def __init__(self, model, variables, max_batch: int = 8, batch_window_ms: float = 5.0):
+        from textmae_tpu.eval import MCMCodec
+
+        self.model = model
+        self.cfg = model.config
+        self.codec = MCMCodec(model, variables)
+        self.codec.update(force=True)
+        self.max_batch = max_batch
+        self.window = batch_window_ms / 1000.0
+        self.stats = {
+            "compress_requests": 0,
+            "decompress_requests": 0,
+            "errors": 0,
+            "batch_sizes": Counter(),
+            "compress_s": 0.0,
+            "decompress_s": 0.0,
+        }
+        self._lock = threading.Lock()
+        self._queues = {"c": queue.Queue(), "d": queue.Queue()}
+        for kind in ("c", "d"):
+            threading.Thread(target=self._worker, args=(kind,), daemon=True).start()
+
+    # -- request side ------------------------------------------------------
+    def compress(self, image_bytes: bytes) -> bytes:
+        return self._submit("c", image_bytes)
+
+    def decompress(self, container_bytes: bytes) -> bytes:
+        return self._submit("d", container_bytes)
+
+    def _submit(self, kind: str, data: bytes) -> bytes:
+        req = _Request(data)
+        self._queues[kind].put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        assert req.result is not None
+        return req.result
+
+    # -- batching worker ----------------------------------------------------
+    def _worker(self, kind: str) -> None:
+        q = self._queues[kind]
+        while True:
+            batch = [q.get()]
+            deadline = time.time() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            t0 = time.time()
+            try:
+                results = (
+                    self._run_compress([r.data for r in batch])
+                    if kind == "c"
+                    else self._run_decompress([r.data for r in batch])
+                )
+                for r, out in zip(batch, results):
+                    r.result = out
+            except Exception as e:  # fail the whole batch, keep serving
+                for r in batch:
+                    r.error = e
+                with self._lock:
+                    self.stats["errors"] += len(batch)
+            finally:
+                with self._lock:
+                    self.stats["batch_sizes"][len(batch)] += 1
+                    key = "compress_s" if kind == "c" else "decompress_s"
+                    self.stats[key] += time.time() - t0
+                    rkey = "compress_requests" if kind == "c" else "decompress_requests"
+                    self.stats[rkey] += len(batch)
+                for r in batch:
+                    r.event.set()
+
+    # -- device work (padded to max_batch for a single compiled shape) ------
+    def _run_compress(self, blobs: List[bytes]) -> List[bytes]:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from textmae_tpu.data.score_maps import total_score_for_image
+        from textmae_tpu.eval import container
+        from textmae_tpu.eval.harness import code_side_info
+
+        n = len(blobs)
+        size = self.cfg.img_size
+        imgs = np.zeros((self.max_batch, 3, size, size), np.float32)
+        scores = np.zeros((self.max_batch, self.cfg.num_patches), np.float32)
+        orig_sizes = []
+        for i, blob in enumerate(blobs):
+            with Image.open(io.BytesIO(blob)) as im:
+                orig_sizes.append(im.size)
+                gray = np.asarray(im.convert("L"))
+                rgb = im.convert("RGB").resize((size, size), Image.BICUBIC)
+            imgs[i] = (np.asarray(rgb, np.float32) / 255.0).transpose(2, 0, 1)
+            scores[i] = total_score_for_image(gray, (size, size))
+        streams, ids_restore = self.codec.compress(
+            jnp.asarray(imgs), jnp.asarray(scores)
+        )
+        payloads, _ = code_side_info(
+            ids_restore[:n], self.cfg.num_keep_patches, self.cfg.canonical_keep_order
+        )
+        return [
+            container.pack_image(streams[i], payloads[i], self.cfg, orig_sizes[i])
+            for i in range(n)
+        ]
+
+    def _run_decompress(self, blobs: List[bytes]) -> List[bytes]:
+        import jax.numpy as jnp  # noqa: F401  (device math inside codec)
+        from PIL import Image
+
+        from textmae_tpu.eval import container
+        from textmae_tpu.eval.harness import decode_side_info
+
+        n = len(blobs)
+        streams, ids, orig_sizes = [], [], []
+        for blob in blobs:
+            stream, side, meta = container.unpack_image(blob)
+            container.check_compatible(meta, self.cfg)
+            streams.append(stream)
+            orig_sizes.append(meta["orig_size"])
+            ids.append(
+                decode_side_info(
+                    side,
+                    self.cfg.num_patches,
+                    self.cfg.num_keep_patches,
+                    self.cfg.canonical_keep_order,
+                )
+            )
+        while len(streams) < self.max_batch:  # pad to the compiled shape
+            streams.append(streams[-1])
+            ids.append(ids[-1])
+        x_hat = np.asarray(self.codec.decompress(streams, np.stack(ids)))
+        outs = []
+        for i in range(n):
+            arr = np.clip(x_hat[i].transpose(1, 2, 0) * 255.0 + 0.5, 0, 255).astype(
+                np.uint8
+            )
+            img = Image.fromarray(arr).resize(orig_sizes[i], Image.BICUBIC)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            outs.append(buf.getvalue())
+        return outs
+
+    def snapshot_stats(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+            s["batch_sizes"] = dict(self.stats["batch_sizes"])
+        return s
+
+
+def make_handler(service: CodecService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            import jax
+
+            if self.path == "/healthz":
+                body = json.dumps(
+                    {"status": "ok", "backend": jax.default_backend()}
+                ).encode()
+                self._reply(200, body, "application/json")
+            elif self.path == "/stats":
+                self._reply(
+                    200,
+                    json.dumps(service.snapshot_stats()).encode(),
+                    "application/json",
+                )
+            else:
+                self._reply(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                if self.path == "/compress":
+                    out = service.compress(data)
+                    self._reply(200, out, "application/octet-stream")
+                elif self.path == "/decompress":
+                    out = service.decompress(data)
+                    self._reply(200, out, "image/png")
+                else:
+                    self._reply(404, b"not found", "text/plain")
+            except Exception as e:
+                self._reply(400, str(e).encode(), "text/plain")
+
+    return Handler
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+    from textmae_tpu.train import TrainState, configure_optimizers
+    from textmae_tpu.train.checkpoint import restore_checkpoint
+    from textmae_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = MCMConfig(
+        img_size=args.input_size,
+        num_keep_patches=args.num_keep_patches,
+        dtype=jnp.bfloat16 if args.half else jnp.float32,
+    )
+    model = MCM(cfg)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    sscore = jnp.zeros((1, cfg.num_patches), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r, "noise": r}, sample, sscore,
+            training=False, compute_loss=False,
+        )
+    )(rng)
+    if args.path:
+        tx = configure_optimizers(variables["params"])
+        template = TrainState.create(variables["params"], tx)
+        state, _ = restore_checkpoint(args.path, state_template=template)
+        variables = {"params": state.params}
+
+    service = CodecService(
+        model, variables, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+    )
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving MCM codec on http://{args.host}:{args.port} "
+          f"(max_batch={args.max_batch})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

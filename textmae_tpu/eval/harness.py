@@ -53,6 +53,16 @@ def code_side_info(ids_restore: np.ndarray, num_keep: int, canonical: bool):
     return payloads, ids
 
 
+def decode_side_info(
+    payload: bytes, num_patches: int, num_keep: int, canonical: bool
+) -> np.ndarray:
+    """Inverse of one image's code_side_info payload -> ids_restore (L,)."""
+    if canonical:
+        kept = SubsetCoder(num_patches, num_keep).decompress(payload)
+        return ids_restore_from_kept(kept, num_patches)
+    return PermutationCoder(num_patches).decompress(payload)
+
+
 def inference(
     codec: MCMCodec, imgs: jnp.ndarray, scores: jnp.ndarray
 ) -> Dict[str, float]:
