@@ -28,6 +28,12 @@ def main():
     p.add_argument("--lmbda", type=float, default=1e-4)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--eval-n", type=int, default=8)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run the real-codec eval every N steps (0 = only at the end)")
+    p.add_argument("--save", type=str, default=None,
+                   help="checkpoint directory: saves at the end / --eval-every marks")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume from a checkpoint saved by --save")
     args = p.parse_args()
 
     import jax
@@ -65,7 +71,24 @@ def main():
     )(rng)
     tx = configure_optimizers(variables["params"])
     state = TrainState.create(variables["params"], tx)
+    start_step = 0
+    if args.resume:
+        from textmae_tpu.train.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(args.resume, state_template=state)
+        start_step = int(meta.get("demo_step", 0))
+        print(f"resumed from {args.resume} at step {start_step}", flush=True)
     step = make_train_step(model, tx, lmbda=args.lmbda)
+
+    def save(tag: int):
+        if not args.save:
+            return
+        from textmae_tpu.train.checkpoint import save_checkpoint
+
+        path = save_checkpoint(
+            Path(args.save), f"demo_step{tag}", state, {"demo_step": tag}
+        )
+        print(f"saved {path}", flush=True)
 
     def eval_codec(params, tag):
         codec = MCMCodec(model, {"params": params})
@@ -75,20 +98,24 @@ def main():
         print(tag, {k: round(float(v), 4) for k, v in res.items()}, flush=True)
 
     eval_codec(state.params, "BEFORE:")
-    order = np.random.default_rng(0)
+    order = np.random.default_rng(start_step)
     t0 = time.time()
-    for it in range(args.steps):
+    for it in range(start_step, start_step + args.steps):
         idx = order.integers(0, n, args.batch)
         state, m = step(state, {"imgs": imgs_all[idx], "scores": scores_all[idx]}, rng)
-        if it % max(args.steps // 10, 1) == 0:
+        if (it - start_step) % max(args.steps // 10, 1) == 0:
             print(
                 f"step {it}: loss={float(m['loss']):.4f} bpp={float(m['bpp_loss']):.4f} "
                 f"ssim={float(m['ssim_loss']):.4f} l1={float(m['L1_loss']):.4f} "
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
+        if args.eval_every and (it + 1) % args.eval_every == 0:
+            eval_codec(state.params, f"EVAL@{it + 1}:")
+            save(it + 1)
     print(f"{args.steps} steps in {time.time() - t0:.0f}s", flush=True)
     eval_codec(state.params, "AFTER:")
+    save(start_step + args.steps)
 
 
 if __name__ == "__main__":
