@@ -1,0 +1,121 @@
+"""Pipeline parallelism (parallel/pipeline.py): the GPipe scan schedule over
+a "pipe" mesh axis must be exactly the sequential block stack, forward and
+backward, for any (stages, microbatches) split."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textmae_tpu.ops.vit import Block
+from textmae_tpu.parallel import make_mesh
+from textmae_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipelined_stack_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
+
+DEPTH, DIM, HEADS, N, S = 8, 16, 2, 8, 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    block = Block(DIM, HEADS, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, S, DIM))
+    params = {
+        f"blocks_{i}": block.init(jax.random.PRNGKey(i + 2), x)["params"]
+        for i in range(DEPTH)
+    }
+    y_ref = x
+    for i in range(DEPTH):
+        y_ref = block.apply({"params": params[f"blocks_{i}"]}, y_ref)
+    return block, params, x, y_ref
+
+
+@pytest.mark.parametrize("stages,micro", [(2, 2), (4, 4), (4, 8), (8, 4)])
+def test_pipeline_matches_sequential(setup, stages, micro):
+    block, params, x, y_ref = setup
+    mesh = make_mesh({"pipe": stages}, devices=jax.devices()[:stages])
+    y = pipelined_stack_apply(
+        block, params, x, mesh, depth=DEPTH, num_microbatches=micro
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+
+def test_pipeline_gradients_match_sequential(setup):
+    block, params, x, _ = setup
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+
+    def loss_pp(p):
+        return pipelined_stack_apply(
+            block, p, x, mesh, depth=DEPTH, num_microbatches=4, shard=False
+        ).sum()
+
+    def loss_seq(p):
+        h = x
+        for i in range(DEPTH):
+            h = block.apply({"params": p[f"blocks_{i}"]}, h)
+        return h.sum()
+
+    g_pp = jax.grad(loss_pp)(params)
+    g_seq = jax.grad(loss_seq)(params)
+    scale = max(
+        jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).max()), g_seq))
+    )
+    diff = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_pp, g_seq)
+        )
+    )
+    assert diff <= 1e-5 * scale + 1e-5, (diff, scale)
+
+
+def test_stack_unstack_roundtrip(setup):
+    _, params, _, _ = setup
+    stacked = stack_layer_params(params, DEPTH)
+    assert jax.tree.leaves(stacked)[0].shape[0] == DEPTH
+    rt = unstack_layer_params(stacked)
+    assert set(rt) == set(params)
+    for k in params:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b), params[k], rt[k]
+        )
+
+
+def test_pipeline_param_memory_is_sharded(setup):
+    """Each stage must hold only depth/P layers (the HBM win): the stacked
+    params' per-device shard covers 1/P of the leading axis."""
+    _, params, _, _ = setup
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    from textmae_tpu.parallel.pipeline import _shard_stacked
+
+    stacked = _shard_stacked(stack_layer_params(params, DEPTH), mesh, "pipe")
+    leaf = jax.tree.leaves(stacked)[0]
+    shard_rows = {s.data.shape[0] for s in leaf.addressable_shards}
+    assert shard_rows == {DEPTH // 4}
+
+
+def test_pipeline_validation_errors(setup):
+    block, params, x, _ = setup
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    with pytest.raises(ValueError):  # depth 8 over 3 stages
+        mesh3 = make_mesh({"pipe": 3}, devices=jax.devices()[:3])
+        pipelined_stack_apply(block, params, x, mesh3, depth=DEPTH, num_microbatches=4)
+    with pytest.raises(ValueError):  # batch 8 into 3 microbatches
+        pipelined_stack_apply(block, params, x, mesh, depth=DEPTH, num_microbatches=3)
+    with pytest.raises(KeyError):
+        stack_layer_params(params, DEPTH + 1)
+
+
+def test_pipeline_apply_generic_fn():
+    """pipeline_apply works for any per-layer fn, not just flax blocks."""
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    depth, m, d = 4, 4, 6
+    w = jax.random.normal(jax.random.PRNGKey(0), (depth, d, d)) * 0.3
+    xs = jax.random.normal(jax.random.PRNGKey(1), (m, 3, d))
+
+    y = pipeline_apply(lambda p, h: jnp.tanh(h @ p), w, xs, mesh)
+    y_ref = xs
+    for i in range(depth):
+        y_ref = jnp.tanh(y_ref @ w[i])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)

@@ -14,6 +14,12 @@ from textmae_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from textmae_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipelined_stack_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
 from textmae_tpu.parallel.sharding_rules import (
     shard_params,
     transformer_param_shardings,
@@ -27,4 +33,8 @@ __all__ = [
     "init_distributed",
     "shard_params",
     "transformer_param_shardings",
+    "pipeline_apply",
+    "pipelined_stack_apply",
+    "stack_layer_params",
+    "unstack_layer_params",
 ]
