@@ -114,8 +114,10 @@ def main():
             eval_codec(state.params, f"EVAL@{it + 1}:")
             save(it + 1)
     print(f"{args.steps} steps in {time.time() - t0:.0f}s", flush=True)
-    eval_codec(state.params, "AFTER:")
-    save(start_step + args.steps)
+    # skip the trailing eval/save when the loop's last step just did both
+    if not (args.eval_every and args.steps % args.eval_every == 0):
+        eval_codec(state.params, "AFTER:")
+        save(start_step + args.steps)
 
 
 if __name__ == "__main__":

@@ -160,6 +160,45 @@ def test_service_error_isolated(service):
     assert blob[:4] == container.MAGIC
 
 
+def test_batch_error_does_not_poison_neighbors(service):
+    """A malformed request coalesced into a batch fails ALONE; the valid
+    requests in the same device batch still succeed."""
+    r = np.random.default_rng(11)
+    good_png = _png_bytes(r.random((96, 96, 3)).astype(np.float32))
+    out = service._run_compress([b"not a png", good_png])
+    assert isinstance(out[0], Exception)
+    assert isinstance(out[1], bytes) and out[1][:4] == container.MAGIC
+
+    out = service._run_decompress([out[1], b"garbage container"])
+    assert isinstance(out[0], bytes)  # valid PNG reconstruction
+    assert isinstance(out[1], Exception)
+    # all-invalid batch: no device work, all errors
+    out = service._run_decompress([b"x", b"y"])
+    assert all(isinstance(o, Exception) for o in out)
+
+
+def test_container_rejects_tampered_z_grid(setup, service):
+    r = np.random.default_rng(12)
+    blob = service.compress(_png_bytes(r.random((96, 96, 3)).astype(np.float32)))
+    _, _, meta = container.unpack_image(blob)
+    assert meta["z_shape"] == (1, 1)  # keep_grid 4 -> hyper grid 1
+    bad = dict(meta, z_shape=(255, 255))
+    with pytest.raises(ValueError, match="z grid"):
+        container.check_compatible(bad, TINY)
+
+
+def test_encode_side_info_matches_code_side_info(setup):
+    from textmae_tpu.eval.harness import encode_side_info
+
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    _, ids = codec.compress(imgs, scores)
+    enc_only = encode_side_info(ids, TINY.num_keep_patches, TINY.canonical_keep_order)
+    payloads, _ = code_side_info(ids, TINY.num_keep_patches, TINY.canonical_keep_order)
+    assert enc_only == payloads
+
+
 def test_http_endpoints(setup, service):
     import http.client
 

@@ -58,7 +58,14 @@ class _Request:
 class CodecService:
     """Dynamic-batching wrapper around MCMCodec (one worker per direction)."""
 
-    def __init__(self, model, variables, max_batch: int = 8, batch_window_ms: float = 5.0):
+    def __init__(
+        self,
+        model,
+        variables,
+        max_batch: int = 8,
+        batch_window_ms: float = 5.0,
+        warmup: bool = True,
+    ):
         from textmae_tpu.eval import MCMCodec
 
         self.model = model
@@ -76,9 +83,27 @@ class CodecService:
             "decompress_s": 0.0,
         }
         self._lock = threading.Lock()
+        if warmup:
+            self._warmup()
         self._queues = {"c": queue.Queue(), "d": queue.Queue()}
         for kind in ("c", "d"):
             threading.Thread(target=self._worker, args=(kind,), daemon=True).start()
+
+    def _warmup(self) -> None:
+        """Compile both directions before accepting traffic: the first real
+        request must not stall on the slice-chain XLA compiles."""
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (self.cfg.img_size, self.cfg.img_size)).save(
+            buf, format="PNG"
+        )
+        (blob,) = self._run_compress([buf.getvalue()])
+        if isinstance(blob, Exception):  # pragma: no cover - warmup must work
+            raise blob
+        (out,) = self._run_decompress([blob])
+        if isinstance(out, Exception):  # pragma: no cover
+            raise out
 
     # -- request side ------------------------------------------------------
     def compress(self, image_bytes: bytes) -> bytes:
@@ -117,9 +142,19 @@ class CodecService:
                     if kind == "c"
                     else self._run_decompress([r.data for r in batch])
                 )
+                # per-item outcomes: one malformed request must not fail the
+                # innocent requests coalesced into the same device batch
+                n_err = 0
                 for r, out in zip(batch, results):
-                    r.result = out
-            except Exception as e:  # fail the whole batch, keep serving
+                    if isinstance(out, Exception):
+                        r.error = out
+                        n_err += 1
+                    else:
+                        r.result = out
+                if n_err:
+                    with self._lock:
+                        self.stats["errors"] += n_err
+            except Exception as e:  # unexpected: fail the batch, keep serving
                 for r in batch:
                     r.error = e
                 with self._lock:
@@ -135,38 +170,49 @@ class CodecService:
                     r.event.set()
 
     # -- device work (padded to max_batch for a single compiled shape) ------
-    def _run_compress(self, blobs: List[bytes]) -> List[bytes]:
+    def _run_compress(self, blobs: List[bytes]) -> List:
+        """Per item: container bytes, or the Exception that item raised."""
         import jax.numpy as jnp
         from PIL import Image
 
         from textmae_tpu.data.score_maps import total_score_for_image
         from textmae_tpu.eval import container
-        from textmae_tpu.eval.harness import code_side_info
+        from textmae_tpu.eval.harness import encode_side_info
 
         n = len(blobs)
         size = self.cfg.img_size
         imgs = np.zeros((self.max_batch, 3, size, size), np.float32)
         scores = np.zeros((self.max_batch, self.cfg.num_patches), np.float32)
-        orig_sizes = []
+        outs: List = [None] * n
+        orig_sizes = [None] * n
+        valid = []
         for i, blob in enumerate(blobs):
-            with Image.open(io.BytesIO(blob)) as im:
-                orig_sizes.append(im.size)
-                gray = np.asarray(im.convert("L"))
-                rgb = im.convert("RGB").resize((size, size), Image.BICUBIC)
-            imgs[i] = (np.asarray(rgb, np.float32) / 255.0).transpose(2, 0, 1)
-            scores[i] = total_score_for_image(gray, (size, size))
+            try:
+                with Image.open(io.BytesIO(blob)) as im:
+                    orig_sizes[i] = im.size
+                    gray = np.asarray(im.convert("L"))
+                    rgb = im.convert("RGB").resize((size, size), Image.BICUBIC)
+                imgs[i] = (np.asarray(rgb, np.float32) / 255.0).transpose(2, 0, 1)
+                scores[i] = total_score_for_image(gray, (size, size))
+                valid.append(i)
+            except Exception as e:
+                outs[i] = e
+        if not valid:
+            return outs
         streams, ids_restore = self.codec.compress(
             jnp.asarray(imgs), jnp.asarray(scores)
         )
-        payloads, _ = code_side_info(
+        payloads = encode_side_info(
             ids_restore[:n], self.cfg.num_keep_patches, self.cfg.canonical_keep_order
         )
-        return [
-            container.pack_image(streams[i], payloads[i], self.cfg, orig_sizes[i])
-            for i in range(n)
-        ]
+        for i in valid:
+            outs[i] = container.pack_image(
+                streams[i], payloads[i], self.cfg, orig_sizes[i]
+            )
+        return outs
 
-    def _run_decompress(self, blobs: List[bytes]) -> List[bytes]:
+    def _run_decompress(self, blobs: List[bytes]) -> List:
+        """Per item: PNG bytes, or the Exception that item raised."""
         import jax.numpy as jnp  # noqa: F401  (device math inside codec)
         from PIL import Image
 
@@ -174,33 +220,39 @@ class CodecService:
         from textmae_tpu.eval.harness import decode_side_info
 
         n = len(blobs)
-        streams, ids, orig_sizes = [], [], []
-        for blob in blobs:
-            stream, side, meta = container.unpack_image(blob)
-            container.check_compatible(meta, self.cfg)
-            streams.append(stream)
-            orig_sizes.append(meta["orig_size"])
-            ids.append(
-                decode_side_info(
-                    side,
-                    self.cfg.num_patches,
-                    self.cfg.num_keep_patches,
-                    self.cfg.canonical_keep_order,
+        outs: List = [None] * n
+        streams, ids, orig_sizes, valid = [], [], [], []
+        for i, blob in enumerate(blobs):
+            try:
+                stream, side, meta = container.unpack_image(blob)
+                container.check_compatible(meta, self.cfg)
+                ids.append(
+                    decode_side_info(
+                        side,
+                        self.cfg.num_patches,
+                        self.cfg.num_keep_patches,
+                        self.cfg.canonical_keep_order,
+                    )
                 )
-            )
+                streams.append(stream)
+                orig_sizes.append(meta["orig_size"])
+                valid.append(i)
+            except Exception as e:
+                outs[i] = e
+        if not valid:
+            return outs
         while len(streams) < self.max_batch:  # pad to the compiled shape
             streams.append(streams[-1])
             ids.append(ids[-1])
         x_hat = np.asarray(self.codec.decompress(streams, np.stack(ids)))
-        outs = []
-        for i in range(n):
-            arr = np.clip(x_hat[i].transpose(1, 2, 0) * 255.0 + 0.5, 0, 255).astype(
+        for j, i in enumerate(valid):
+            arr = np.clip(x_hat[j].transpose(1, 2, 0) * 255.0 + 0.5, 0, 255).astype(
                 np.uint8
             )
-            img = Image.fromarray(arr).resize(orig_sizes[i], Image.BICUBIC)
+            img = Image.fromarray(arr).resize(orig_sizes[j], Image.BICUBIC)
             buf = io.BytesIO()
             img.save(buf, format="PNG")
-            outs.append(buf.getvalue())
+            outs[i] = buf.getvalue()
         return outs
 
     def snapshot_stats(self) -> dict:

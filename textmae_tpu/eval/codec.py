@@ -287,8 +287,8 @@ class MCMCodec:
             raise RuntimeError("call codec.update() before compress/decompress")
 
     def _z_shape(self) -> Tuple[int, int]:
-        g = self.cfg.keep_grid
-        return ((g + 3) // 4, (g + 3) // 4)  # two stride-2 convs in h_a
+        g = self.cfg.hyper_grid
+        return (g, g)
 
     # ------------------------------------------------------------------
     def _run_slice_chain(self, y, latent_means, latent_scales):

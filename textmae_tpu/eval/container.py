@@ -99,6 +99,7 @@ def unpack_image(data: bytes) -> Tuple[CompressedImage, bytes, Dict]:
         "num_keep_patches": num_keep,
         "canonical_keep_order": bool(canonical),
         "orig_size": (orig_w, orig_h),
+        "z_shape": (hz, wz),
     }
     return CompressedImage(y_string, z_string, (hz, wz)), bytes(side), meta
 
@@ -113,3 +114,10 @@ def check_compatible(meta: Dict, config) -> None:
             )
     if meta["canonical_keep_order"] != config.canonical_keep_order:
         raise ValueError("container keep-order mode differs from model config")
+    g = config.hyper_grid
+    if meta["z_shape"] != (g, g):
+        # the z grid sizes device buffers and the host rANS decode loop; a
+        # tampered header must not drive either
+        raise ValueError(
+            f"container z grid {meta['z_shape']} != model hyper grid {(g, g)}"
+        )

@@ -23,14 +23,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from textmae_tpu.coding.permutation import PermutationCoder
 from textmae_tpu.coding.subset import SubsetCoder, ids_restore_from_kept
 from textmae_tpu.eval.codec import MCMCodec
 from textmae_tpu.eval.metrics import compute_metrics
 
 
-def code_side_info(ids_restore: np.ndarray, num_keep: int, canonical: bool):
-    """Entropy-code ids_restore per image; returns (payload bytes, decoded ids).
+# coder construction precomputes the per-state CDF table (~K*L rows) in
+# Python; memoize it — the coders themselves are stateless per compress/
+# decompress call, so sharing across calls and threads is safe
+@lru_cache(maxsize=8)
+def _subset_coder(length: int, k: int) -> SubsetCoder:
+    return SubsetCoder(length, k)
+
+
+@lru_cache(maxsize=8)
+def _perm_coder(length: int) -> PermutationCoder:
+    return PermutationCoder(length)
+
+
+def encode_side_info(
+    ids_restore: np.ndarray, num_keep: int, canonical: bool
+) -> list:
+    """Entropy-code ids_restore per image -> payload bytes (encode only).
 
     canonical keep order -> the kept SET suffices (~log2 C(L,K) bits,
     SubsetCoder); reference order -> the full permutation (~log2 L!,
@@ -38,18 +55,24 @@ def code_side_info(ids_restore: np.ndarray, num_keep: int, canonical: bool):
     """
     n, length = ids_restore.shape
     if canonical:
-        coder = SubsetCoder(length, num_keep)
-        payloads = []
-        for i in range(n):
-            kept = np.sort(np.argsort(ids_restore[i])[:num_keep])
-            payloads.append(coder.compress(kept))
-        ids = np.stack(
-            [ids_restore_from_kept(coder.decompress(p), length) for p in payloads]
-        )
-    else:
-        coder = PermutationCoder(length)
-        payloads = [coder.compress(ids_restore[i]) for i in range(n)]
-        ids = np.stack([coder.decompress(p) for p in payloads])
+        coder = _subset_coder(length, num_keep)
+        return [
+            coder.compress(np.sort(np.argsort(ids_restore[i])[:num_keep]))
+            for i in range(n)
+        ]
+    coder = _perm_coder(length)
+    return [coder.compress(ids_restore[i]) for i in range(n)]
+
+
+def code_side_info(ids_restore: np.ndarray, num_keep: int, canonical: bool):
+    """encode_side_info + decode back: (payloads, decoded ids). The eval
+    harness feeds the DECODED ids to decompress, proving the side-info
+    round trip on every measured image (testing.py:74-76's pattern)."""
+    n, length = ids_restore.shape
+    payloads = encode_side_info(ids_restore, num_keep, canonical)
+    ids = np.stack(
+        [decode_side_info(p, length, num_keep, canonical) for p in payloads]
+    )
     return payloads, ids
 
 
@@ -58,9 +81,9 @@ def decode_side_info(
 ) -> np.ndarray:
     """Inverse of one image's code_side_info payload -> ids_restore (L,)."""
     if canonical:
-        kept = SubsetCoder(num_patches, num_keep).decompress(payload)
+        kept = _subset_coder(num_patches, num_keep).decompress(payload)
         return ids_restore_from_kept(kept, num_patches)
-    return PermutationCoder(num_patches).decompress(payload)
+    return _perm_coder(num_patches).decompress(payload)
 
 
 def inference(

@@ -120,6 +120,11 @@ class MCMConfig:
         return g
 
     @property
+    def hyper_grid(self) -> int:
+        """Hyperlatent grid side: h_a downsamples the keep grid 2x by stride 2."""
+        return (self.keep_grid + 3) // 4
+
+    @property
     def group_ch(self) -> int:
         return self.latent_depth // self.num_slices
 
