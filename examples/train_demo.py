@@ -37,6 +37,10 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from textmae_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
