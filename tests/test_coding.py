@@ -274,3 +274,53 @@ def test_entropy_coder_registry():
 
     with pytest.raises(ValueError):
         set_entropy_coder("nope")
+
+
+def test_huffman_negative_and_sparse_symbols():
+    """Negative symbols must not alias positive ones (value-indexed table
+    bug): [5,-1,5,-1,3] used to round-trip as [-1,-1,-1,-1,3]."""
+    from textmae_tpu.coding.huffman import HuffmanCoder
+
+    h = HuffmanCoder()
+    for vals in (
+        np.array([5, -1, 5, -1, 3]),
+        np.array([-1000000, 1000000, 0, -1]),
+        np.array([], np.int64),
+        np.array([[7]]),
+    ):
+        out = h.decompress(h.compress(vals))
+        np.testing.assert_array_equal(out, vals.reshape(out.shape))
+
+
+def test_escape_payload_full_int32_range():
+    """|symbol - offset| up to 2^32-1 must round-trip identically through
+    every encoder/decoder backend combination (the native coder used to
+    wrap the escape payload in uint32)."""
+    from textmae_tpu.coding import RansDecoder, RansEncoder
+
+    cdf = np.array([[0, 32768, 65534, 65536]], np.int32)
+    cl = np.array([4], np.int32)
+    cases = [
+        (np.int32(2**31 - 1), np.int32(-(2**31))),  # raw = 2^32-1
+        (np.int32(-(2**31)), np.int32(2**31 - 1)),  # raw negative extreme
+        (np.int32(12345), np.int32(0)),
+        (np.int32(-7), np.int32(3)),
+    ]
+    idx = np.zeros(len(cases), np.int32)
+    sym = np.array([c[0] for c in cases], np.int32)
+    off_full = np.array([c[1] for c in cases], np.int32)
+    # per-symbol offsets need per-symbol rows; use one row, vary via indexes
+    cdfs = np.repeat(cdf, len(cases), 0)
+    cls = np.repeat(cl, len(cases), 0)
+    idx = np.arange(len(cases), dtype=np.int32)
+    streams = []
+    for ep in (False, True):
+        enc = RansEncoder(force_python=ep)
+        enc.encode_with_indexes(sym, idx, cdfs, cls, off_full)
+        streams.append(enc.flush())
+    assert streams[0] == streams[1]  # backend-identical bytes
+    for dp in (False, True):
+        dec = RansDecoder(force_python=dp)
+        dec.set_stream(streams[0])
+        got = dec.decode_stream(idx, cdfs, cls, off_full)
+        np.testing.assert_array_equal(got, sym)

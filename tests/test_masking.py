@@ -2,6 +2,7 @@
 oracle that follows the reference algorithm (MCM.py:364-423) step by step."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from textmae_tpu.masking import apply_masking, get_ids_shuffle
 
@@ -24,9 +25,12 @@ def _oracle_keep_set(score: np.ndarray, num_keep: int) -> set:
     for g in range(9):
         members = [i for i in range(len(score)) if cats[i] == g]
         members.sort(key=lambda i: score[i])
-        take = alloc[g]
+        take = int(alloc[g])
         if take > 0:
-            keep.extend(members[max(len(members) - take, 0):])
+            # raw python slice, exactly as the reference's
+            # group_score[len - take:] — a negative start keeps take-n
+            # elements when take exceeds the group size n (MCM.py:405-408)
+            keep.extend(members[len(members) - take:])
     return set(keep[:num_keep]) if len(keep) >= num_keep else set(keep)
 
 
@@ -56,6 +60,41 @@ class TestGetIdsShuffle:
             got = set(ids[: len(expected)].tolist())
             # keep sets must agree (ordering may differ within the kept block)
             assert got == expected, f"trial {trial}: {got ^ expected}"
+
+    def test_keep_set_matches_torch_reference(self, rng):
+        """End-to-end check against a torch implementation of the reference
+        algorithm (MCM.py:364-423), including torch.quantile interpolation,
+        torch.bucketize and the negative-slice allocation quirk. Distinct
+        scores (tie handling is a documented divergence)."""
+        torch = pytest.importorskip("torch")
+
+        def torch_keep_set(score_t, num_keep):
+            qs = torch.arange(0.1, 0.91, 0.1, dtype=torch.float32)
+            thr = torch.quantile(score_t.unique(), qs, dim=0)
+            cats = torch.bucketize(score_t, thr)
+            kept_vals = score_t[cats == 9].tolist()
+            gmeans = torch.tensor(
+                [score_t[cats == g].mean() for g in range(10)]
+            )
+            weights = torch.softmax(gmeans[:-1], dim=0)
+            alloc = torch.round(
+                weights * (num_keep - len(kept_vals))
+            ).int()
+            for g in range(9):
+                vals = torch.sort(score_t[cats == g]).values
+                kept_vals.extend(vals[len(vals) - int(alloc[g]):].tolist())
+            kept_idx = [
+                int(torch.nonzero(score_t == v)[0]) for v in kept_vals
+            ]
+            return set(kept_idx[:num_keep])
+
+        for trial in range(6):
+            score = rng.normal(size=196).astype(np.float32)  # distinct w.h.p.
+            assert len(np.unique(score)) == 196
+            expected = torch_keep_set(torch.from_numpy(score), 144)
+            ids = np.asarray(get_ids_shuffle(jnp.asarray(score[None]), 144))[0]
+            got = set(ids[: len(expected)].tolist())
+            assert got == expected, f"trial {trial}: {sorted(got ^ expected)}"
 
     def test_constant_scores_no_nan(self):
         scores = jnp.full((2, 196), 0.5, jnp.float32)

@@ -89,11 +89,14 @@ inline int64_t row_bin(int32_t symbol, const int32_t* cdf_row, int32_t cdf_len,
   // Returns value bin; appends CDF-bin op plus bypass chunk ops if escaped.
   const int32_t max_bin = cdf_len - 2;  // last bin = escape/tail
   int64_t value = static_cast<int64_t>(symbol) - offset;
-  uint32_t raw = 0;
+  // 64-bit raw: |symbol - offset| can reach 2^32 for extreme int32 inputs,
+  // so the zigzagged payload needs more than 32 bits (the Python mirror's
+  // bignums agree with this format chunk-for-chunk)
+  uint64_t raw = 0;
   bool escape = value < 0 || value >= max_bin;
   if (escape) {
-    raw = value >= max_bin ? static_cast<uint32_t>(2 * (value - max_bin))
-                           : static_cast<uint32_t>(2 * (-value) - 1);
+    raw = value >= max_bin ? static_cast<uint64_t>(2 * (value - max_bin))
+                           : static_cast<uint64_t>(2 * (-value) - 1);
     value = max_bin;
   }
   ops->push_back(Op{static_cast<uint32_t>(cdf_row[value]),
@@ -102,7 +105,7 @@ inline int64_t row_bin(int32_t symbol, const int32_t* cdf_row, int32_t cdf_len,
   if (escape) {
     // Continuation-coded 4-bit chunks, low bits first: payload 3 bits + carry.
     while (true) {
-      uint32_t chunk = raw & 7u;
+      uint32_t chunk = static_cast<uint32_t>(raw & 7u);
       raw >>= 3;
       if (raw) chunk |= 8u;
       ops->push_back(Op{chunk, 1, 4});
@@ -278,14 +281,14 @@ int tm_dec_decode_stream(TmDec* d, const int32_t* indexes, int64_t n,
     int64_t value = bin;
     const int32_t max_bin = len - 2;
     if (bin == max_bin) {  // escape: continuation-coded chunks, low bits first
-      uint32_t raw = 0;
+      uint64_t raw = 0;
       int shift = 0;
       while (true) {
+        if (shift > 33) return -4;  // legit payloads end by 2^34 (int32 API)
         uint32_t chunk = st.get_bits(4);
-        raw |= (chunk & 7u) << shift;
+        raw |= static_cast<uint64_t>(chunk & 7u) << shift;
         shift += 3;
         if (!(chunk & 8u)) break;
-        if (shift > 31) return -4;
       }
       value = (raw & 1u) ? -static_cast<int64_t>((raw + 1) / 2)
                          : max_bin + static_cast<int64_t>(raw / 2);

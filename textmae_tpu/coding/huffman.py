@@ -65,14 +65,11 @@ class HuffmanCoder:
         flat = values.reshape(-1).astype(np.int64)
         lengths = _code_lengths(flat)
         codes = _canonical_codes(lengths)
-        # vectorized bit emission
-        code_arr = np.zeros(max(codes) + 1, np.uint64)
-        len_arr = np.zeros(max(codes) + 1, np.uint8)
-        for s, (c, l) in codes.items():
-            code_arr[s], len_arr[s] = c, l
+        # dict lookup, not value-indexed arrays: symbols may be negative or
+        # sparse, and a raw values-as-indices table would alias them
         bits = []
         for v in flat:  # small arrays (196 entries); loop is fine
-            c, l = int(code_arr[v]), int(len_arr[v])
+            c, l = codes[int(v)]
             bits.append(np.binary_repr(c, width=l))
         bitstring = "".join(bits)
         nbits = len(bitstring)

@@ -42,7 +42,17 @@ def _load_lib():
 
         path = build()
         lib = ctypes.CDLL(str(path))
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        # cached for the process lifetime: every coder falls back to the
+        # ~100x slower Python mirror, so say why, loudly, once
+        warnings.warn(
+            f"textmae_tpu native rANS extension unavailable ({e!r}); "
+            "falling back to the pure-Python coder for this process "
+            "(same stream format, much slower)",
+            RuntimeWarning,
+        )
         _lib = False
         return False
 

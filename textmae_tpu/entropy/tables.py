@@ -3,8 +3,10 @@
 Reimplements the semantics of compressai's C++ `pmf_to_quantized_cdf`
 (referenced indirectly via model.update(force=True) at
 /root/reference/testing.py:223): float PMF -> 16-bit integer CDF summing to
-2^16, with zero-frequency slots "stealing" probability mass from the richest
-symbol so every symbol stays codable.
+2^16, with zero-frequency slots "stealing" one probability slot from the
+poorest symbol that still has more than one (compressai's donor choice —
+bit-identical tables require copying it exactly) so every symbol stays
+codable.
 
 This module is the host-side reference implementation (numpy); the C++
 extension in `textmae_tpu.coding` exposes a bit-identical fast path and is
@@ -39,7 +41,9 @@ def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
     cdf = np.zeros(n + 1, dtype=np.int64)
     cdf[1:] = np.cumsum(freqs)
 
-    # Steal slots for zero-frequency symbols from the currently-richest symbol.
+    # Steal slots for zero-frequency symbols from the POOREST symbol with
+    # freq > 1 (compressai's donor choice; do not "fix" to the richest —
+    # the C++ cross-check and compressai table parity depend on it).
     for i in range(n):
         if cdf[i] == cdf[i + 1]:
             best_freq = np.iinfo(np.int64).max

@@ -17,12 +17,22 @@ Algorithm (per sample, L patch scores, budget K = num_keep_patches):
   6. ids_shuffle = kept indices first (group 9 in index order, then groups
      0..8), remaining indices appended in index order.
 
+Step 5's per-group keep COUNT replicates the reference's Python slice
+`sorted_group[len - alloc:]` exactly, including its negative-start quirk:
+an allocation `a` for a group of size n keeps
+    a          if a <= n,
+    a - n      if n < a <= 2n   (negative slice start keeps the LAST a-n),
+    n          if a > 2n        (start clamps past the front).
+The middle case is common (softmax allocation routinely exceeds a group by a
+few), so matching it is required for keep-set parity with reference-trained
+checkpoints (verified against a torch implementation of MCM.py:364-423 in
+tests/test_masking.py).
+
 Deliberate divergences from the reference (documented per SURVEY.md §7):
   * empty groups get softmax weight 0 instead of propagating NaN,
   * ties inside a group break by original index (stable sort) instead of the
-    reference's value-Counter first-occurrence scan,
-  * a group allocation larger than the group keeps the whole group (the
-    reference's negative python slice start silently keeps fewer).
+    reference's value-Counter first-occurrence scan (identical on distinct
+    scores; real score maps are near-distinct).
 The keep-set semantics and the ids_shuffle/ids_restore contract match.
 """
 from __future__ import annotations
@@ -72,7 +82,13 @@ def _ids_shuffle_single(score: jnp.ndarray, num_keep: int) -> jnp.ndarray:
     sm = jax.nn.softmax(means[: _NUM_GROUPS - 1])
     sm = jnp.where(jnp.isnan(sm), 0.0, sm)
     alloc = jnp.maximum(jnp.round(sm * budget).astype(jnp.int32), 0)
-    alloc_full = jnp.concatenate([alloc, counts[_NUM_GROUPS - 1 :]])
+    # reference slice semantics: sorted_group[n - a:] keeps a, a-n, or n
+    # elements for a<=n, n<a<=2n, a>2n respectively (see module docstring)
+    c9 = counts[: _NUM_GROUPS - 1]
+    take = jnp.where(
+        alloc <= c9, alloc, jnp.where(alloc <= 2 * c9, alloc - c9, c9)
+    )
+    alloc_full = jnp.concatenate([take, counts[_NUM_GROUPS - 1 :]])
 
     # Within-group descending-score rank (ties -> original index order):
     group_order = jnp.lexsort((idx, -score, cats))

@@ -96,7 +96,10 @@ class MCMConfig:
         if self.img_size % self.patch_size:
             raise ValueError("img_size must be divisible by patch_size (MCM.py:511)")
         if self.latent_depth % self.num_slices:
-            raise ValueError("latent_depth must divide evenly into num_slices")
+            raise ValueError(
+                f"num_slices ({self.num_slices}) must divide latent_depth "
+                f"({self.latent_depth}) evenly"
+            )
         if self.num_keep_patches > self.num_patches:
             raise ValueError(
                 f"num_keep_patches ({self.num_keep_patches}) exceeds the "
@@ -348,6 +351,38 @@ class MCM(nn.Module):
         """mean/scale support: latents (N,H,W,latent) ++ decoded-slice buffer."""
         return jnp.concatenate([latents, buf], axis=-1)
 
+    # Shared slice-chain core. The codec's bit-identity contract (see
+    # eval/codec.py) requires the training scan, the one-jit encode path and
+    # the per-slice decode programs to compute mu/sigma/LRP with the SAME
+    # expression trees; these three helpers are the single definition all
+    # call sites use — edit here, never inline at a call site.
+    def _slice_mu_sigma(self, buf, latent_means, latent_scales, apply_mean, apply_scale):
+        """Per-slice context math: (mu, sigma, mean_support) from the buffer
+        and hyper latents. `apply_*` bind the slice's conv net (stacked-scan
+        or per-slice module form)."""
+        mean_support = self._support(buf, latent_means)
+        scale_support = self._support(buf, latent_scales)
+        return apply_mean(mean_support), apply_scale(scale_support), mean_support
+
+    def _lrp_refine(self, y_hat, mean_support, apply_lrp):
+        """Latent residual prediction: y_hat += 0.5*tanh(lrp(support ++ y_hat))
+        (MCM.py:252-293, applied at :779-784)."""
+        lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
+        return y_hat + 0.5 * jnp.tanh(apply_lrp(lrp_support))
+
+    def _buf_update(self, buf, y_hat, slice_index):
+        """Write slice `slice_index` into the context buffer (first
+        max_support slices only — later slices never serve as context)."""
+        g = self.config.group_ch
+        return jax.lax.cond(
+            slice_index < self.config.max_support,
+            lambda b: jax.lax.dynamic_update_slice(
+                b, y_hat, (0, 0, 0, slice_index * g)
+            ),
+            lambda b: b,
+            buf,
+        )
+
     def _slice_scan(
         self,
         y: jnp.ndarray,
@@ -377,26 +412,24 @@ class MCM(nn.Module):
 
         def step(buf, xs):
             i, y_slice, noise, (cm_k, cm_b), (cs_k, cs_b), (lp_k, lp_b) = xs
-            mean_support = self._support(buf, latent_means)
-            scale_support = self._support(buf, latent_scales)
-            mu = StackedSliceNet.apply_one(cm_k, cm_b, mean_support)
-            sigma = StackedSliceNet.apply_one(cs_k, cs_b, scale_support)
+            mu, sigma, mean_support = self._slice_mu_sigma(
+                buf,
+                latent_means,
+                latent_scales,
+                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x),
+                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x),
+            )
             if noise_rng is not None:
                 y_for_lik = y_slice + noise
             else:
                 y_for_lik = jnp.round(y_slice - mu) + mu
             lik = gaussian_likelihood(y_for_lik, sigma, mu)
-            y_hat = quantize_ste(y_slice - mu) + mu
-            lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
-            lrp = 0.5 * jnp.tanh(StackedSliceNet.apply_one(lp_k, lp_b, lrp_support))
-            y_hat = y_hat + lrp
-            buf = jax.lax.cond(
-                i < cfg.max_support,
-                lambda b: jax.lax.dynamic_update_slice(b, y_hat, (0, 0, 0, i * g)),
-                lambda b: b,
-                buf,
+            y_hat = self._lrp_refine(
+                quantize_ste(y_slice - mu) + mu,
+                mean_support,
+                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x),
             )
-            return buf, (y_hat, lik)
+            return self._buf_update(buf, y_hat, i), (y_hat, lik)
 
         _, (y_hat_slices, y_liks) = jax.lax.scan(
             step,
@@ -506,23 +539,21 @@ class MCM(nn.Module):
 
         def step(buf, xs):
             i, y_slice, (cm_k, cm_b), (cs_k, cs_b), (lp_k, lp_b) = xs
-            mean_support = self._support(buf, latent_means)
-            scale_support = self._support(buf, latent_scales)
-            mu = StackedSliceNet.apply_one(cm_k, cm_b, mean_support)
-            sigma = StackedSliceNet.apply_one(cs_k, cs_b, scale_support)
+            mu, sigma, mean_support = self._slice_mu_sigma(
+                buf,
+                latent_means,
+                latent_scales,
+                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x),
+                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x),
+            )
             index = gaussian_build_indexes(sigma, scale_table)
             y_q = gaussian_quantize_symbols(y_slice, mu)
-            y_hat = y_q.astype(jnp.float32) + mu
-            lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
-            lrp = 0.5 * jnp.tanh(StackedSliceNet.apply_one(lp_k, lp_b, lrp_support))
-            y_hat = y_hat + lrp
-            buf = jax.lax.cond(
-                i < cfg.max_support,
-                lambda b: jax.lax.dynamic_update_slice(b, y_hat, (0, 0, 0, i * g)),
-                lambda b: b,
-                buf,
+            y_hat = self._lrp_refine(
+                y_q.astype(jnp.float32) + mu,
+                mean_support,
+                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x),
             )
-            return buf, (y_q, index)
+            return self._buf_update(buf, y_hat, i), (y_q, index)
 
         _, (symbols, indexes) = jax.lax.scan(
             step, buf0, (idxs, y_slices, (ccm_k, ccm_b), (ccs_k, ccs_b), (lrp_k, lrp_b))
@@ -573,12 +604,14 @@ class MCM(nn.Module):
         scale_table: jnp.ndarray,
     ):
         """Per-slice mu/sigma/indexes for host stream decoding (MCM.py:921-944)."""
-        mean_support = self._support(buf, latent_means)
-        scale_support = self._support(buf, latent_scales)
-        mu = self.cc_transform_mean(mean_support, slice_index)
-        sigma = self.cc_transform_scale(scale_support, slice_index)
-        index = gaussian_build_indexes(sigma, scale_table)
-        return mu, index, mean_support
+        mu, sigma, mean_support = self._slice_mu_sigma(
+            buf,
+            latent_means,
+            latent_scales,
+            lambda x: self.cc_transform_mean(x, slice_index),
+            lambda x: self.cc_transform_scale(x, slice_index),
+        )
+        return mu, gaussian_build_indexes(sigma, scale_table), mean_support
 
     def decode_slice_update(
         self,
@@ -589,19 +622,12 @@ class MCM(nn.Module):
         slice_index: int,
     ):
         """Incorporate host-decoded symbols into the running slice buffer."""
-        cfg = self.config
-        g = cfg.group_ch
-        y_hat = symbols.astype(jnp.float32) + mu
-        lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
-        lrp = 0.5 * jnp.tanh(self.lrp_transform(lrp_support, slice_index))
-        y_hat = y_hat + lrp
-        buf = jax.lax.cond(
-            slice_index < cfg.max_support,
-            lambda b: jax.lax.dynamic_update_slice(b, y_hat, (0, 0, 0, slice_index * g)),
-            lambda b: b,
-            buf,
+        y_hat = self._lrp_refine(
+            symbols.astype(jnp.float32) + mu,
+            mean_support,
+            lambda x: self.lrp_transform(x, slice_index),
         )
-        return buf, y_hat
+        return self._buf_update(buf, y_hat, slice_index), y_hat
 
     def decode_tail_params(
         self,
@@ -649,10 +675,11 @@ class MCM(nn.Module):
         tail = ([k[t0:] for k in lrp_k], [b[t0:] for b in lrp_b])
 
         def one(lk, lb, mu, sym):
-            y_hat = sym.astype(jnp.float32) + mu
-            lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
-            lrp = 0.5 * jnp.tanh(StackedSliceNet.apply_one(lk, lb, lrp_support))
-            return y_hat + lrp
+            return self._lrp_refine(
+                sym.astype(jnp.float32) + mu,
+                mean_support,
+                lambda x: StackedSliceNet.apply_one(lk, lb, x),
+            )
 
         return jax.vmap(one)(tail[0], tail[1], mu_stack, sym_stack)
 
