@@ -34,6 +34,10 @@ def main():
                    help="checkpoint directory: saves at the end / --eval-every marks")
     p.add_argument("--resume", type=str, default=None,
                    help="resume from a checkpoint saved by --save")
+    p.add_argument("--eval-raw", action="store_true",
+                   help="evaluate on unnormalized images (the reference "
+                        "testing.py quirk); default evaluates on the training "
+                        "distribution and de-normalizes for metrics")
     args = p.parse_args()
 
     import jax
@@ -97,9 +101,42 @@ def main():
     def eval_codec(params, tag):
         codec = MCMCodec(model, {"params": params})
         codec.update(force=True)
-        res = inference(codec, raw_all[: args.eval_n], scores_all[: args.eval_n])
-        res.pop("x_hat")
-        print(tag, {k: round(float(v), 4) for k, v in res.items()}, flush=True)
+        k = args.eval_n
+        if args.eval_raw:
+            # reference testing.py quirk: eval feeds UNNORMALIZED images to a
+            # model trained on ImageNet-normalized ones (dataloader.py:57-73
+            # normalizes train/val but not test) — the distribution shift
+            # caps PSNR regardless of how well the model trained
+            res = inference(codec, raw_all[:k], scores_all[:k])
+            res.pop("x_hat")
+        else:
+            # consistent eval: same input distribution as training; metrics
+            # on the de-normalized reconstruction vs the raw pixels
+            import time as _t
+
+            from textmae_tpu.eval import compute_metrics
+            from textmae_tpu.eval.harness import code_side_info
+
+            t0 = _t.time()
+            streams, ids_restore = codec.compress(imgs_all[:k], scores_all[:k])
+            payloads, ids = code_side_info(
+                ids_restore, cfg.num_keep_patches, cfg.canonical_keep_order
+            )
+            enc_t = _t.time() - t0
+            t0 = _t.time()
+            x_hat = codec.decompress(streams, ids)
+            dec_t = _t.time() - t0
+            mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1))
+            std = jnp.asarray(IMAGENET_STD.reshape(1, 3, 1, 1))
+            res = compute_metrics(raw_all[:k], x_hat * std + mean)
+            num_px = k * cfg.img_size * cfg.img_size
+            bits = sum(s.num_bits() + len(p) * 8 for s, p in zip(streams, payloads))
+            res.update(
+                bpp=bits / num_px,
+                encoding_time=enc_t / k,
+                decoding_time=dec_t / k,
+            )
+        print(tag, {k2: round(float(v), 4) for k2, v in res.items()}, flush=True)
 
     eval_codec(state.params, "BEFORE:")
     order = np.random.default_rng(start_step)

@@ -173,3 +173,20 @@ def test_pack6_roundtrip():
         wire = np.asarray(_pack6_device(jnp.asarray(idx)))
         assert wire.size == _packed6_len(n) == 3 * ((n + 3) // 4)
         np.testing.assert_array_equal(_unpack6_host(wire, n), idx)
+
+
+def test_wide_pack_flags_z_overflow(setup):
+    """The wide-path divergence flag must cover z hyper-symbols too: an
+    out-of-int16 z value must raise, not wrap into a corrupt stream."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    cfg = model.config
+    grid, g = cfg.keep_grid, cfg.group_ch
+    hz, wz = codec._z_shape()
+    syms = jnp.zeros((cfg.num_slices, 2, grid, grid, g), jnp.int16)
+    idxs = jnp.zeros(syms.shape, jnp.uint8)
+    ids = jnp.zeros((2, cfg.num_patches), jnp.int32)
+    z_bad = jnp.zeros((2, hz, wz, cfg.hyperprior_depth), jnp.int32).at[0, 0, 0, 0].set(40000)
+    packed = np.asarray(codec._pack_wide(syms, idxs, z_bad, ids, jnp.int32(0)))
+    assert packed[:2].view(np.int16)[0] == 1  # flagged, not silent

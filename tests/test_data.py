@@ -115,10 +115,12 @@ def test_batch_iterator_shapes_and_determinism(tiny_dataset):
 
 
 def test_batch_iterator_sharding(tiny_dataset):
+    """DistributedSampler semantics: 5 samples over 2 hosts -> 3 each (one
+    padded duplicate) so per-host batch counts are identical."""
     ds = ImageScoreDataset(tiny_dataset, "train", img_size=32)
     n0 = sum(b[0].shape[0] for b in batch_iterator(ds, 2, shard_index=0, shard_count=2))
     n1 = sum(b[0].shape[0] for b in batch_iterator(ds, 2, shard_index=1, shard_count=2))
-    assert n0 + n1 == 5
+    assert n0 == n1 == 3
 
 
 def test_missing_scores_hard_error(tmp_path, rng):
@@ -129,3 +131,45 @@ def test_missing_scores_hard_error(tmp_path, rng):
     )
     with pytest.raises(FileNotFoundError):
         ImageScoreDataset(root, "train")
+
+
+def test_shard_order_equal_lengths():
+    """Per-host shards must be equal length for ANY (n, shard_count) — the
+    short-host case deadlocks multi-process training at a collective."""
+    from textmae_tpu.data.dataset import shard_order
+
+    for n in (1, 7, 16, 17, 33):
+        for sc in (1, 2, 3, 8):
+            lens = {len(shard_order(np.arange(n), i, sc)) for i in range(sc)}
+            assert len(lens) == 1, (n, sc, lens)
+            # every sample still appears somewhere
+            seen = set()
+            for i in range(sc):
+                seen.update(shard_order(np.arange(n), i, sc).tolist())
+            assert seen == set(range(n))
+    assert len(shard_order(np.arange(0), 0, 4)) == 0
+
+
+def test_batch_iterator_early_abandon_no_leak(tmp_path):
+    """Closing the generator early must unblock the producer thread even
+    when the prefetch queue is full."""
+    import threading
+    import time
+
+    from textmae_tpu.data.dataset import batch_iterator
+
+    class Tiny:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.zeros((8, 8, 3), np.float32), (8, 8), np.zeros(4, np.float32)
+
+    before = threading.active_count()
+    it = batch_iterator(Tiny(), batch_size=2, prefetch=2, num_threads=2)
+    next(it)
+    it.close()  # abandon with a full prefetch queue
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

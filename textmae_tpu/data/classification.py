@@ -13,6 +13,7 @@ All host-side (PIL + numpy); batches feed jitted steps directly.
 from __future__ import annotations
 
 import os
+import threading
 from pathlib import Path
 from typing import List, Tuple
 
@@ -85,6 +86,7 @@ class ImageFolderDataset:
         if not self.samples:
             raise FileNotFoundError(f"no class images under {self.root}")
         self._rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -94,8 +96,13 @@ class ImageFolderDataset:
         with Image.open(path) as im:
             im = im.convert("RGB")
             if self.train:
-                im = random_resized_crop(im, self.img_size, self._rng)
-                if self._rng.random() < 0.5:
+                # __getitem__ runs on a thread pool; numpy Generators are not
+                # thread-safe, so draw a child seed under a lock and do the
+                # augmentation draws on a private generator
+                with self._rng_lock:
+                    child = np.random.default_rng(self._rng.integers(2**63))
+                im = random_resized_crop(im, self.img_size, child)
+                if child.random() < 0.5:
                     im = im.transpose(Image.FLIP_LEFT_RIGHT)
             else:
                 im = center_crop_resize(im, self.img_size)
@@ -120,11 +127,13 @@ def class_batch_iterator(
     """Yield (images, labels) numpy batches with per-host sharding."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from textmae_tpu.data.dataset import shard_order
+
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         order = np.random.default_rng((seed, epoch)).permutation(n)
-    order = order[shard_index::shard_count]
+    order = shard_order(order, shard_index, shard_count)
     if drop_last:
         order = order[: (len(order) // batch_size) * batch_size]
     with ThreadPoolExecutor(num_threads) as pool:

@@ -105,6 +105,22 @@ class ImageScoreDataset:
         return arr, orig_size, self.scores[idx]
 
 
+def shard_order(order: np.ndarray, shard_index: int, shard_count: int) -> np.ndarray:
+    """Equal-length per-host shards of a sample order.
+
+    torch DistributedSampler semantics (main_pretrain.py:134-136): pad the
+    permutation cyclically to a multiple of shard_count before striding, so
+    every host sees the SAME number of samples — and therefore the same
+    number of batches. Unequal per-host batch counts deadlock multi-process
+    training: the short host leaves the epoch loop while the rest wait at
+    the next collective.
+    """
+    if shard_count <= 1 or len(order) == 0:
+        return order
+    total = -(-len(order) // shard_count) * shard_count
+    return np.resize(order, total)[shard_index::shard_count]
+
+
 def batch_iterator(
     dataset: ImageScoreDataset,
     batch_size: int,
@@ -128,7 +144,7 @@ def batch_iterator(
     order = np.arange(n)
     if shuffle:
         order = np.random.default_rng((seed, epoch)).permutation(n)
-    order = order[shard_index::shard_count]
+    order = shard_order(order, shard_index, shard_count)
     if drop_last:
         order = order[: (len(order) // batch_size) * batch_size]
 
@@ -138,6 +154,17 @@ def batch_iterator(
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        # a plain q.put() can block forever on a full queue after the
+        # consumer abandons the generator; re-check `stop` while waiting
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         from concurrent.futures import ThreadPoolExecutor
@@ -151,8 +178,9 @@ def batch_iterator(
                 scores = np.stack([s[2] for s in samples])
                 if channels_first:
                     imgs = imgs.transpose(0, 3, 1, 2)
-                q.put((imgs, scores))
-        q.put(None)
+                if not put_or_stop((imgs, scores)):
+                    break
+        put_or_stop(None)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

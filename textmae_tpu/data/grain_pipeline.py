@@ -75,7 +75,9 @@ def grain_batch_iterator(
     sampler = gp.IndexSampler(
         num_records=len(dataset),
         shuffle=shuffle,
-        seed=seed + epoch,  # fresh deterministic order per epoch
+        # pair-hashed so (seed, epoch) combinations never collide the way a
+        # plain seed+epoch sum does (seed 0/epoch 1 == seed 1/epoch 0)
+        seed=int(np.random.SeedSequence([seed, epoch]).generate_state(1)[0]),
         num_epochs=1,
         shard_options=gp.ShardOptions(
             shard_index=shard_index, shard_count=shard_count, drop_remainder=drop_last

@@ -233,11 +233,15 @@ class MCMCodec:
         self._pack = jax.jit(_pack)
 
         def _pack_wide(syms, idxs, z_sym, ids_restore, overflow):
-            # fallback: full int16 payload (first int16 = symbols-exceeded-
-            # int16 flag); used only when the escape sidecar overflows
+            # fallback: full int16 payload (first int16 = exceeded-int16
+            # flag); used only when the escape sidecar overflows. The flag
+            # must ALSO cover z hyper-symbols: `overflow` only counts the
+            # slice quantizers, and a z value outside int16 would otherwise
+            # wrap silently into a desynchronized stream
+            z_wide = jnp.sum((z_sym > 32767) | (z_sym < -32768)).astype(jnp.int32)
             i16 = jnp.concatenate(
                 [
-                    jnp.clip(overflow, 0, 1).astype(jnp.int16).reshape(1),
+                    jnp.clip(overflow + z_wide, 0, 1).astype(jnp.int16).reshape(1),
                     syms.reshape(-1),
                     z_sym.astype(jnp.int16).reshape(-1),
                     ids_restore.astype(jnp.int16).reshape(-1),

@@ -122,6 +122,23 @@ def inference(
     }
 
 
+@lru_cache(maxsize=4)
+def _entropy_estimation_fn(model):
+    """Jitted forward+bits for `model`, cached so repeated eval batches reuse
+    one compiled program (a per-call @jax.jit closure would retrace and
+    recompile the full MCM forward for every batch)."""
+
+    @jax.jit
+    def run(v, x, s):
+        out = model.apply(v, x, s, training=False, compute_loss=False)
+        nbits = sum(
+            jnp.log(lik).sum() for lik in out["likelihoods"].values()
+        ) / (-np.log(2))
+        return out["x_hat"], nbits
+
+    return run
+
+
 def inference_entropy_estimation(
     model, variables, imgs: jnp.ndarray, scores: jnp.ndarray
 ) -> Dict[str, float]:
@@ -129,17 +146,10 @@ def inference_entropy_estimation(
     n, _, h, w = imgs.shape
     num_pixels = n * h * w
 
-    @jax.jit
-    def run(v, x, s):
-        out = model.apply(v, x, s, training=False, compute_loss=False)
-        bpp = sum(
-            jnp.log(lik).sum() / (-np.log(2) * num_pixels)
-            for lik in out["likelihoods"].values()
-        )
-        return out["x_hat"], bpp
-
+    run = _entropy_estimation_fn(model)
     start = time.time()
-    x_hat, bpp = run(variables, imgs, scores)
+    x_hat, nbits = run(variables, imgs, scores)
+    bpp = nbits / num_pixels
     x_hat = jax.block_until_ready(x_hat)
     elapsed = time.time() - start
     metrics = compute_metrics(imgs, x_hat)
@@ -197,27 +207,32 @@ def eval_model(
         return idxs, samples, res
 
     starts = list(range(0, len(dataset), batch_size))
-    if pipeline > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    pool = None
+    try:
+        if pipeline > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(pipeline)
-        results = pool.map(run_batch, starts)
-    else:
-        results = map(run_batch, starts)
+            pool = ThreadPoolExecutor(pipeline)
+            results = pool.map(run_batch, starts)
+        else:
+            results = map(run_batch, starts)
 
-    for idxs, samples, res in results:
-        x_hat = res.pop("x_hat")
-        if out_dir is not None:
-            for j, i in enumerate(idxs):
-                name = Path(dataset.files[i]).stem
-                _save_recon(np.asarray(x_hat[j]), samples[j][1], out_dir / f"{name}_rec.png")
-        for k, v in res.items():
-            agg[k] += float(v) * len(samples)
-        count += len(samples)
-        if verbose:
-            print(f"[{count}/{len(dataset)}] " + json.dumps(res), flush=True)
-    if pipeline > 1:
-        pool.shutdown()
+        for idxs, samples, res in results:
+            x_hat = res.pop("x_hat")
+            if out_dir is not None:
+                for j, i in enumerate(idxs):
+                    name = Path(dataset.files[i]).stem
+                    _save_recon(np.asarray(x_hat[j]), samples[j][1], out_dir / f"{name}_rec.png")
+            for k, v in res.items():
+                agg[k] += float(v) * len(samples)
+            count += len(samples)
+            if verbose:
+                print(f"[{count}/{len(dataset)}] " + json.dumps(res), flush=True)
+    finally:
+        if pool is not None:
+            # on an exception mid-iteration, stop queued batches instead of
+            # letting them keep driving the device behind the caller's back
+            pool.shutdown(wait=False, cancel_futures=True)
 
     return {k: v / count for k, v in agg.items()}
 

@@ -59,7 +59,11 @@ def inference_tiled(
     the reconstruction under "x_hat".
     """
     tiles, meta = tile_image(img, tile)
-    grays = (tiles.mean(axis=-1) * 255).astype(np.uint8)
+    # BT.601 luma, matching cv2 IMREAD_GRAYSCALE / PIL convert("L") used by
+    # every other score-map path — an unweighted mean shifts chromatic
+    # regions across the structure map's fixed binarization thresholds
+    luma = np.array([0.299, 0.587, 0.114], np.float32)
+    grays = ((tiles @ luma) * 255).astype(np.uint8)
     # score-map resolution follows the tile size so the patch grid matches
     scores = np.stack([total_score_for_image(g, (tile, tile)) for g in grays])
 
