@@ -55,13 +55,10 @@ def main():
     t_setup = time.time()
     import jax
 
+    from textmae_tpu.utils import enable_compile_cache
+
     # persistent compile cache: repeat bench runs skip the ~4 min of XLA compiles
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from textmae_tpu.data.score_maps import total_score_for_image
@@ -91,7 +88,10 @@ def main():
     codec = MCMCodec(model, variables, num_threads=16)
     codec.update(force=True)
 
+    import threading
+
     phase_acc = {"enc": 0.0, "dec": 0.0}
+    phase_lock = threading.Lock()  # round trips overlap under BENCH_PIPELINE
 
     def sub_round_trip(im, sc):
         t0 = time.time()
@@ -99,11 +99,16 @@ def main():
         payloads, ids = code_side_info(
             ids_restore, cfg.num_keep_patches, cfg.canonical_keep_order
         )
-        phase_acc["enc"] += time.time() - t0
+        enc = time.time() - t0
         t0 = time.time()
         x_hat = codec.decompress(streams, ids)
         jax.block_until_ready(x_hat)
-        phase_acc["dec"] += time.time() - t0
+        dec = time.time() - t0
+        with phase_lock:
+            # NOTE: phases of concurrent round trips overlap in wall clock;
+            # enc/dec_s_per_rep are occupancy sums, not critical-path time
+            phase_acc["enc"] += enc
+            phase_acc["dec"] += dec
         bits = [s.num_bits() + len(p) * 8 for s, p in zip(streams, payloads)]
         return x_hat, bits
 

@@ -237,3 +237,41 @@ def test_http_endpoints(setup, service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_service_normalize_mode(setup):
+    """--normalize: inputs are ImageNet-normalized before the codec and the
+    reconstruction de-normalized back; the container carries the normalized-
+    space streams (compress(normalized) == direct codec on normalized)."""
+    import jax.numpy as jnp2
+
+    from textmae_tpu.cli.serve import CodecService
+    from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from textmae_tpu.data.score_maps import total_score_for_image
+
+    model, variables, _, _ = setup
+    svc = CodecService(model, variables, max_batch=2, batch_window_ms=5.0,
+                       warmup=False, normalize=True)
+    r = np.random.default_rng(21)
+    img = r.random((96, 96, 3)).astype(np.float32)
+    png = _png_bytes(img)
+    (blob,) = svc._run_compress([png])
+    assert isinstance(blob, bytes)
+    stream, _, _ = container.unpack_image(blob)
+
+    with Image.open(io.BytesIO(png)) as im:
+        gray = np.asarray(im.convert("L"))
+        rgb = np.asarray(im.convert("RGB").resize((96, 96), Image.BICUBIC))
+    x = (rgb.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    sc = total_score_for_image(gray, (96, 96)).astype(np.float32)
+    codec = MCMCodec(model, variables)
+    codec.update()
+    streams, _ = codec.compress(
+        jnp2.asarray(np.stack([x, x]).transpose(0, 3, 1, 2)),
+        jnp2.asarray(np.stack([sc, sc])),
+    )
+    assert stream.y_string == streams[0].y_string
+    (out,) = svc._run_decompress([blob])
+    assert isinstance(out, bytes)  # valid de-normalized PNG
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (96, 96)

@@ -210,3 +210,21 @@ def test_torch_import_merges(tiny_setup):
         {"params": merged}, imgs, scores, training=False, compute_loss=False
     )
     assert np.isfinite(np.asarray(out["x_hat"]).sum())
+
+
+def test_best_tracker_survives_restart(tmp_path):
+    """A fresh BestTracker in the same directory must remember the previous
+    best val loss (restart + --auto-resume must not overwrite
+    checkpoint_best with a worse model)."""
+    from textmae_tpu.train.checkpoint import BestTracker
+
+    state = {"w": np.zeros(2, np.float32)}
+    t1 = BestTracker(tmp_path)
+    assert t1.save(state, {}, epoch=0, val_loss=0.5)
+    assert t1.save(state, {}, epoch=1, val_loss=0.1)
+    assert not t1.save(state, {}, epoch=2, val_loss=0.3)
+
+    t2 = BestTracker(tmp_path)  # new process life
+    assert t2.best_loss == pytest.approx(0.1)
+    assert not t2.save(state, {}, epoch=3, val_loss=0.25)
+    assert t2.save(state, {}, epoch=4, val_loss=0.05)

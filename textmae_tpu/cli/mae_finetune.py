@@ -120,7 +120,9 @@ def main(argv=None):
     )
 
     init_distributed()
-    seed = args.seed + jax.process_index()
+    # per-host seed only for data augmentation; params/step rng are
+    # replicated SPMD inputs and must match on every host
+    host_seed = args.seed + jax.process_index()
     factory = getattr(vit_models, args.model)
     model = factory(
         num_classes=args.nb_classes,
@@ -130,7 +132,7 @@ def main(argv=None):
         drop_path=args.drop_path,
     )
 
-    rng = jax.random.PRNGKey(seed)
+    rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, sample))(rng)
     params = variables["params"]
@@ -144,7 +146,7 @@ def main(argv=None):
         evaluate(eval_step, params, val_ds, args.batch_size, args.num_workers)
         return
 
-    train_ds = ImageFolderDataset(f"{args.data_path}/train", args.input_size, train=True, seed=seed)
+    train_ds = ImageFolderDataset(f"{args.data_path}/train", args.input_size, train=True, seed=host_seed)
     world = jax.process_count()
     steps_per_epoch = max(len(train_ds) // (args.batch_size * world), 1)
     lr = scaled_lr(args.blr, args.batch_size, args.accum_iter, world)
@@ -155,9 +157,12 @@ def main(argv=None):
     )
     state = TrainState.create(params, tx)
     start_epoch = 0
+    resumed_acc = 0.0
     if args.resume:
         state, meta = restore_checkpoint(args.resume, state_template=state)
         start_epoch = int(meta.get("epoch", -1)) + 1
+        # don't let the first post-resume epoch overwrite checkpoint-best
+        resumed_acc = float(meta.get("acc1", 0.0))
 
     mesh = make_mesh()
     step = make_classifier_train_step(
@@ -165,8 +170,8 @@ def main(argv=None):
         mixup=args.mixup > 0, mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
     )
     writer = ScalarWriter(args.log_dir if jax.process_index() == 0 else None)
-    step_rng = jax.random.PRNGKey(seed ^ 0xF1)
-    best_acc = 0.0
+    step_rng = jax.random.PRNGKey(args.seed ^ 0xF1)
+    best_acc = resumed_acc
 
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()

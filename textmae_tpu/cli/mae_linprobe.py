@@ -52,12 +52,14 @@ def main(argv=None):
     from textmae_tpu.train.schedules import linprobe_optimizer, scaled_lr, warmup_half_cosine
 
     init_distributed()
-    seed = args.seed + jax.process_index()
+    # per-host seed only for data augmentation; params/step rng are
+    # replicated SPMD inputs and must match on every host
+    host_seed = args.seed + jax.process_index()
     # linear probe uses cls-token features, no global pool (main_linprobe.py:221)
     factory = getattr(vit_models, args.model)
     model = factory(num_classes=args.nb_classes, global_pool=False, img_size=args.input_size)
 
-    rng = jax.random.PRNGKey(seed)
+    rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
     params = jax.jit(lambda r: model.init(r, sample))(rng)["params"]
     if args.finetune:
@@ -69,7 +71,7 @@ def main(argv=None):
         evaluate(eval_step, params, val_ds, args.batch_size, args.num_workers)
         return
 
-    train_ds = ImageFolderDataset(f"{args.data_path}/train", args.input_size, train=True, seed=seed)
+    train_ds = ImageFolderDataset(f"{args.data_path}/train", args.input_size, train=True, seed=host_seed)
     world = jax.process_count()
     steps_per_epoch = max(len(train_ds) // (args.batch_size * world), 1)
     lr = scaled_lr(args.blr, args.batch_size, 1, world)
@@ -82,7 +84,7 @@ def main(argv=None):
         model, tx, args.nb_classes, label_smoothing=0.0, mixup=False,
         frozen_backbone=True,
     )
-    step_rng = jax.random.PRNGKey(seed ^ 0x11)
+    step_rng = jax.random.PRNGKey(args.seed ^ 0x11)
     best_acc = 0.0
     for epoch in range(args.epochs):
         logger = MetricLogger()

@@ -63,8 +63,14 @@ def main(argv=None):
     )
 
     init_distributed()
-    seed = args.seed + jax.process_index()
-    dataset = ImageFolderDataset(f"{args.data_path}/train", args.input_size, train=True, seed=seed)
+    # per-host seed ONLY for data augmentation; params and the step rng are
+    # replicated SPMD inputs and must be seeded identically on every host
+    # (the reference's per-rank seed works because DDP broadcasts rank-0
+    # weights — SPMD has no broadcast)
+    host_seed = args.seed + jax.process_index()
+    dataset = ImageFolderDataset(
+        f"{args.data_path}/train", args.input_size, train=True, seed=host_seed
+    )
 
     factory = getattr(mae_models, args.model)
     model = factory(
@@ -72,7 +78,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
-    rng = jax.random.PRNGKey(seed)
+    rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
     variables = jax.jit(
         lambda r: model.init({"params": r, "mask": r}, sample, args.mask_ratio)
@@ -105,7 +111,7 @@ def main(argv=None):
     mesh = make_mesh()
     step = make_mae_pretrain_step(model, tx, args.mask_ratio)
     writer = ScalarWriter(args.log_dir if jax.process_index() == 0 else None)
-    step_rng = jax.random.PRNGKey(seed ^ 0xAE)
+    step_rng = jax.random.PRNGKey(args.seed ^ 0xAE)
 
     print(f"lr={lr:.2e} steps/epoch={steps_per_epoch} world={world}")
     for epoch in range(start_epoch, args.epochs):

@@ -51,7 +51,9 @@ def main(argv=None):
         pil = im.convert("RGB")
         orig_size = pil.size
     gray = cv2.imread(args.image, cv2.IMREAD_GRAYSCALE)
-    score = total_score_for_image(gray)
+    # score-map resolution must follow --input-size (the default 224 map
+    # yields 196 scores, wrong for any other patch grid)
+    score = total_score_for_image(gray, (args.input_size, args.input_size))
 
     # ---- stage 1: caption --------------------------------------------------
     caption = None

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
     p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
+    p.add_argument("--normalize", action="store_true",
+                   help="ImageNet-normalize inputs and de-normalize "
+                        "reconstructions; use for checkpoints trained on the "
+                        "normalized train/val distribution (the reference's "
+                        "test path skips this — a train/test mismatch)")
     return p
 
 
@@ -65,11 +70,13 @@ class CodecService:
         max_batch: int = 8,
         batch_window_ms: float = 5.0,
         warmup: bool = True,
+        normalize: bool = False,
     ):
         from textmae_tpu.eval import MCMCodec
 
         self.model = model
         self.cfg = model.config
+        self.normalize = normalize
         self.codec = MCMCodec(model, variables)
         self.codec.update(force=True)
         self.max_batch = max_batch
@@ -192,7 +199,12 @@ class CodecService:
                     orig_sizes[i] = im.size
                     gray = np.asarray(im.convert("L"))
                     rgb = im.convert("RGB").resize((size, size), Image.BICUBIC)
-                imgs[i] = (np.asarray(rgb, np.float32) / 255.0).transpose(2, 0, 1)
+                x = np.asarray(rgb, np.float32) / 255.0
+                if self.normalize:
+                    from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+                    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+                imgs[i] = x.transpose(2, 0, 1)
                 scores[i] = total_score_for_image(gray, (size, size))
                 valid.append(i)
             except Exception as e:
@@ -206,9 +218,12 @@ class CodecService:
             ids_restore[:n], self.cfg.num_keep_patches, self.cfg.canonical_keep_order
         )
         for i in valid:
-            outs[i] = container.pack_image(
-                streams[i], payloads[i], self.cfg, orig_sizes[i]
-            )
+            try:
+                outs[i] = container.pack_image(
+                    streams[i], payloads[i], self.cfg, orig_sizes[i]
+                )
+            except Exception as e:  # e.g. orig dims beyond the header's u16
+                outs[i] = e
         return outs
 
     def _run_decompress(self, blobs: List[bytes]) -> List:
@@ -245,6 +260,12 @@ class CodecService:
             streams.append(streams[-1])
             ids.append(ids[-1])
         x_hat = np.asarray(self.codec.decompress(streams, np.stack(ids)))
+        if self.normalize:
+            from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+            x_hat = x_hat * IMAGENET_STD.reshape(1, 3, 1, 1) + IMAGENET_MEAN.reshape(
+                1, 3, 1, 1
+            )
         for j, i in enumerate(valid):
             arr = np.clip(x_hat[j].transpose(1, 2, 0) * 255.0 + 0.5, 0, 255).astype(
                 np.uint8
@@ -292,6 +313,10 @@ def make_handler(service: CodecService):
                 self._reply(404, b"not found", "text/plain")
 
         def do_POST(self):
+            import struct
+
+            from PIL import UnidentifiedImageError
+
             length = int(self.headers.get("Content-Length", 0))
             data = self.rfile.read(length)
             try:
@@ -303,8 +328,11 @@ def make_handler(service: CodecService):
                     self._reply(200, out, "image/png")
                 else:
                     self._reply(404, b"not found", "text/plain")
-            except Exception as e:
+            except (ValueError, OSError, UnidentifiedImageError, struct.error) as e:
+                # malformed input (bad image / bad container / oversize dims)
                 self._reply(400, str(e).encode(), "text/plain")
+            except Exception as e:  # internal fault: codec bug, OOM, ...
+                self._reply(500, str(e).encode(), "text/plain")
 
     return Handler
 
@@ -344,7 +372,7 @@ def main(argv=None):
 
     service = CodecService(
         model, variables, max_batch=args.max_batch,
-        batch_window_ms=args.batch_window_ms,
+        batch_window_ms=args.batch_window_ms, normalize=args.normalize,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving MCM codec on http://{args.host}:{args.port} "

@@ -18,7 +18,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate MCM on an image dataset (TPU).")
     p.add_argument("-d", "--dataset", type=str, required=True, help="test image directory")
     p.add_argument("-o", "--output_path", type=str, default="reconstruction")
-    p.add_argument("-p", "--path", dest="paths", type=str, nargs="*", default=[None],
+    p.add_argument("-p", "--path", dest="paths", type=str, nargs="+", default=[None],
                    help="checkpoint path(s); omit to evaluate a fresh model")
     p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--num-keep-patches", type=int, default=144)

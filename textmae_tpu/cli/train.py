@@ -59,7 +59,7 @@ def main(argv=None):
 
     from textmae_tpu.data import ImageScoreDataset, batch_iterator
     from textmae_tpu.models.mcm import MCM, MCMConfig
-    from textmae_tpu.parallel import make_mesh, shard_batch
+    from textmae_tpu.parallel import init_distributed, make_mesh, shard_batch
     from textmae_tpu.train import (
         MetricLogger,
         TrainState,
@@ -76,7 +76,13 @@ def main(argv=None):
     from textmae_tpu.utils import enable_compile_cache, profile_trace
 
     enable_compile_cache()
-    seed = args.seed + jax.process_index()  # per-host seed (training.py:109)
+    init_distributed()  # consumes cli.launch's JAX_COORDINATOR_* env vars
+    # One GLOBAL seed: under SPMD, params and the jitted step's rng are
+    # replicated inputs and must be identical on every host (the reference's
+    # per-rank seed, training.py:109, relies on DDP broadcasting rank-0
+    # weights — there is no such broadcast here). Per-step variation comes
+    # from fold_in(rng, state.step) inside the step.
+    seed = args.seed
     train_ds = ImageScoreDataset(args.dataset, "train", img_size=args.input_size)
     val_ds = ImageScoreDataset(args.dataset, "val", img_size=args.input_size)
 
@@ -125,9 +131,11 @@ def main(argv=None):
             key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
         )
         resume_path = str(ckpts[-1]) if ckpts else None
+    resumed_val_loss = float("inf")
     if resume_path:
         state, meta = restore_checkpoint(resume_path, state_template=state)
         start_epoch = int(meta.get("epoch", -1)) + 1
+        resumed_val_loss = float(meta.get("val_loss", float("inf")))
         print(f"resumed from {resume_path} at epoch {start_epoch}")
 
     mesh = make_mesh()
@@ -135,7 +143,9 @@ def main(argv=None):
     eval_step = make_eval_step(model, lmbda=args.lmbda, vgg_variables=vgg_variables)
 
     writer = ScalarWriter(args.log_dir) if jax.process_index() == 0 else ScalarWriter(None)
-    tracker = BestTracker(args.output_dir)
+    tracker = BestTracker(args.output_dir)  # self-seeds from its sidecar
+    # fallback for output dirs from before the sidecar existed
+    tracker.best_loss = min(tracker.best_loss, resumed_val_loss)
     step_rng = jax.random.PRNGKey(seed ^ 0x5EED)
 
     for epoch in range(start_epoch, args.epochs):

@@ -80,7 +80,20 @@ class BestTracker:
     def __init__(self, directory: os.PathLike, prefix: str = "checkpoint"):
         self.directory = Path(directory)
         self.prefix = prefix
+        # survive restarts: a fresh tracker starting at inf would let the
+        # first post-restart epoch overwrite {prefix}_best with a worse
+        # model; the JSON sidecar records the best loss across process lives
         self.best_loss = float("inf")
+        try:
+            import json
+
+            with open(self._sidecar()) as f:
+                self.best_loss = float(json.load(f)["val_loss"])
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _sidecar(self) -> Path:
+        return self.directory / f"{self.prefix}_best.json"
 
     def save(self, state, meta: Dict, epoch: int, val_loss: float) -> bool:
         meta = dict(meta, epoch=epoch, val_loss=float(val_loss))
@@ -89,6 +102,11 @@ class BestTracker:
         if is_best:
             self.best_loss = float(val_loss)
             save_checkpoint(self.directory, f"{self.prefix}_best", state, meta)
+            if is_lead_process():
+                import json
+
+                with open(self._sidecar(), "w") as f:
+                    json.dump({"val_loss": self.best_loss, "epoch": epoch}, f)
         return is_best
 
 
