@@ -84,6 +84,7 @@ def main():
         from textmae_tpu.train.checkpoint import restore_checkpoint
 
         state, meta = restore_checkpoint(args.resume, state_template=state)
+        state = jax.device_put(state)  # orbax restores host numpy arrays
         start_step = int(meta.get("demo_step", 0))
         print(f"resumed from {args.resume} at step {start_step}", flush=True)
     step = make_train_step(model, tx, lmbda=args.lmbda)

@@ -90,3 +90,24 @@ def test_eval_model_pipelined_matches_serial(test_dataset, codec):
     piped = eval_model(codec, ds, batch_size=2, pipeline=2)
     for k in ("psnr", "bpp"):
         assert serial[k] == pytest.approx(piped[k], rel=1e-5)
+
+
+def test_inference_denormalize_mode(codec):
+    """denormalize=True: identical bitstream, metrics in raw pixel space,
+    x_hat returned de-normalized."""
+    from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from textmae_tpu.eval.harness import _denormalize, inference
+
+    r = np.random.default_rng(5)
+    imgs = r.random((2, 3, 96, 96)).astype(np.float32)
+    scores = jnp.asarray(r.random((2, TINY.num_patches)).astype(np.float32))
+    mean = IMAGENET_MEAN.reshape(1, 3, 1, 1)
+    std = IMAGENET_STD.reshape(1, 3, 1, 1)
+    norm = (imgs - mean) / std
+    r1 = inference(codec, jnp.asarray(norm), scores)
+    r2 = inference(codec, jnp.asarray(norm), scores, denormalize=True)
+    assert r2["bpp"] == pytest.approx(r1["bpp"])  # same streams either way
+    np.testing.assert_allclose(
+        np.asarray(r2["x_hat"]), np.asarray(_denormalize(r1["x_hat"])), atol=1e-6
+    )
+    assert np.isfinite(r2["psnr"]) and 0 <= r2["ms-ssim"] <= 1

@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", type=int, default=1,
                    help="overlap this many batches' round trips (throughput mode)")
     p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument("--normalize", action="store_true",
+                   help="ImageNet-normalize eval inputs and de-normalize for "
+                        "metrics: consistent with the train/val distribution "
+                        "(the reference's test path skips normalization — "
+                        "dataloader.py:57-73 — which caps measurable quality "
+                        "for checkpoints trained on normalized pixels)")
     from textmae_tpu.coding import available_entropy_coders
 
     p.add_argument("--entropy-coder", type=str, default="rans",
@@ -54,7 +60,9 @@ def main(argv=None):
     from textmae_tpu.train.checkpoint import restore_checkpoint
 
     set_entropy_coder(args.entropy_coder)
-    dataset = ImageScoreDataset(args.dataset, "test", img_size=args.input_size)
+    dataset = ImageScoreDataset(
+        args.dataset, "test", img_size=args.input_size, normalize=args.normalize
+    )
 
     cfg = MCMConfig(
         img_size=args.input_size,
@@ -78,7 +86,9 @@ def main(argv=None):
             tx = configure_optimizers(variables["params"])
             template = TrainState.create(variables["params"], tx)
             state, _ = restore_checkpoint(ckpt, state_template=template)
-            variables = {"params": state.params}
+            # commit restored (host numpy) params to device once — otherwise
+            # every jitted eval program re-uploads the full tree per call
+            variables = jax.device_put({"params": state.params})
             name = Path(ckpt).name
         else:
             name = "untrained"
@@ -107,7 +117,7 @@ def main(argv=None):
             results = eval_model(
                 model, dataset, entropy_estimation=True, variables=variables,
                 batch_size=args.batch_size, verbose=args.verbose,
-                pipeline=args.pipeline,
+                pipeline=args.pipeline, denormalize=args.normalize,
                 output_dir=args.output_path if args.save_recon else None,
             )
         else:
@@ -115,7 +125,7 @@ def main(argv=None):
             codec.update(force=True)
             results = eval_model(
                 codec, dataset, batch_size=args.batch_size, verbose=args.verbose,
-                pipeline=args.pipeline,
+                pipeline=args.pipeline, denormalize=args.normalize,
                 output_dir=args.output_path if args.save_recon else None,
             )
         all_results[name] = results

@@ -111,7 +111,11 @@ class CompressedImage:
 class MCMCodec:
     def __init__(self, model: MCM, variables: Dict, num_threads: int = 8):
         self.model = model
-        self.variables = variables
+        # Commit params to device ONCE. Checkpoint restores hand back host
+        # numpy arrays; leaving them host-side makes every jitted program in
+        # this codec re-upload the full parameter tree on every call — on a
+        # remote-attached chip that turns one eval into minutes of H2D.
+        self.variables = jax.device_put(variables)
         self.cfg = model.config
         self.scale_table = get_scale_table()
         self.gauss_tables: Optional[CdfTable] = None

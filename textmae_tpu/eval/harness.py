@@ -86,10 +86,25 @@ def decode_side_info(
     return _perm_coder(num_patches).decompress(payload)
 
 
+def _denormalize(x: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet de-normalization (CHW batch) back to [0,1] pixel space."""
+    from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+    return x * IMAGENET_STD.reshape(1, 3, 1, 1) + IMAGENET_MEAN.reshape(1, 3, 1, 1)
+
+
 def inference(
-    codec: MCMCodec, imgs: jnp.ndarray, scores: jnp.ndarray
+    codec: MCMCodec, imgs: jnp.ndarray, scores: jnp.ndarray,
+    denormalize: bool = False,
 ) -> Dict[str, float]:
-    """Real-bitstream round trip for a batch; returns averaged metrics."""
+    """Real-bitstream round trip for a batch; returns averaged metrics.
+
+    denormalize=True: inputs are ImageNet-normalized (the model's training
+    distribution); metrics are computed in raw pixel space by de-normalizing
+    both sides. The reference's test path instead feeds raw pixels to a
+    model trained on normalized ones (dataloader.py:57-73) — a documented
+    train/test mismatch that caps measurable quality.
+    """
     n, _, h, w = imgs.shape
     num_pixels = h * w
 
@@ -106,7 +121,11 @@ def inference(
     x_hat = jax.block_until_ready(x_hat)
     dec_time = time.time() - start
 
-    metrics = compute_metrics(imgs, x_hat)
+    if denormalize:
+        x_hat = _denormalize(x_hat)
+        metrics = compute_metrics(_denormalize(imgs), x_hat)
+    else:
+        metrics = compute_metrics(imgs, x_hat)
     stream_bpp = float(np.mean([s.num_bits() / num_pixels for s in streams]))
     side_bpp = float(np.mean([len(p) * 8 / num_pixels for p in payloads]))
     return {
@@ -140,7 +159,8 @@ def _entropy_estimation_fn(model):
 
 
 def inference_entropy_estimation(
-    model, variables, imgs: jnp.ndarray, scores: jnp.ndarray
+    model, variables, imgs: jnp.ndarray, scores: jnp.ndarray,
+    denormalize: bool = False,
 ) -> Dict[str, float]:
     """Forward-pass bpp from likelihoods (testing.py:103-120, signature fixed)."""
     n, _, h, w = imgs.shape
@@ -152,7 +172,11 @@ def inference_entropy_estimation(
     bpp = nbits / num_pixels
     x_hat = jax.block_until_ready(x_hat)
     elapsed = time.time() - start
-    metrics = compute_metrics(imgs, x_hat)
+    if denormalize:
+        x_hat = _denormalize(x_hat)
+        metrics = compute_metrics(_denormalize(imgs), x_hat)
+    else:
+        metrics = compute_metrics(imgs, x_hat)
     return {
         **metrics,
         "bpp": float(bpp),
@@ -179,8 +203,12 @@ def eval_model(
     output_dir: Optional[Path] = None,
     verbose: bool = False,
     pipeline: int = 1,
+    denormalize: bool = False,
 ) -> Dict[str, float]:
     """Loop a dataset through inference, average metrics (testing.py:128-165).
+
+    denormalize=True pairs with a dataset that ImageNet-normalizes its
+    images: metrics and saved reconstructions come out in raw pixel space.
 
     pipeline > 1 runs that many batches' round trips on worker threads so one
     batch's host-bound decode alternation overlaps another's device-bound
@@ -201,9 +229,11 @@ def eval_model(
         )
         scores = jnp.asarray(np.stack([s[2] for s in samples]))
         if entropy_estimation:
-            res = inference_entropy_estimation(codec_or_model, variables, imgs, scores)
+            res = inference_entropy_estimation(
+                codec_or_model, variables, imgs, scores, denormalize=denormalize
+            )
         else:
-            res = inference(codec_or_model, imgs, scores)
+            res = inference(codec_or_model, imgs, scores, denormalize=denormalize)
         return idxs, samples, res
 
     starts = list(range(0, len(dataset), batch_size))
