@@ -43,6 +43,13 @@ def build_parser():
     p.add_argument("--save_every", type=int, default=20)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--pipeline_stages", type=int, default=1,
+                   help="run the encoder/decoder block stacks as this many "
+                        "pipeline-parallel stages over the local devices "
+                        "(depths must divide evenly; ViT-L 24/8 -> 2,4,8)")
+    p.add_argument("--microbatches", type=int, default=4,
+                   help="pipeline microbatches per step (>= stages for "
+                        "reasonable bubble overhead); batch_size must divide")
     return p
 
 
@@ -74,6 +81,7 @@ def main(argv=None):
 
     factory = getattr(mae_models, args.model)
     model = factory(
+        img_size=args.input_size,
         norm_pix_loss=args.norm_pix_loss,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
@@ -108,8 +116,19 @@ def main(argv=None):
         start_epoch = int(meta.get("epoch", -1)) + 1
         print(f"resumed from {resume} at epoch {start_epoch}")
 
-    mesh = make_mesh()
-    step = make_mae_pretrain_step(model, tx, args.mask_ratio)
+    if args.pipeline_stages > 1:
+        from textmae_tpu.train.mae_engine import make_pipelined_mae_pretrain_step
+
+        mesh = make_mesh(
+            {"pipe": args.pipeline_stages},
+            devices=jax.devices()[: args.pipeline_stages],
+        )
+        step = make_pipelined_mae_pretrain_step(
+            model, tx, mesh, args.mask_ratio, num_microbatches=args.microbatches
+        )
+    else:
+        mesh = make_mesh()
+        step = make_mae_pretrain_step(model, tx, args.mask_ratio)
     writer = ScalarWriter(args.log_dir if jax.process_index() == 0 else None)
     step_rng = jax.random.PRNGKey(args.seed ^ 0xAE)
 
@@ -122,7 +141,12 @@ def main(argv=None):
             shard_index=jax.process_index(), shard_count=world,
         )
         for imgs, _ in logger.log_every(it, args.print_freq, f"Epoch: [{epoch}]"):
-            imgs = shard_batch(jnp.asarray(imgs), mesh)
+            if args.pipeline_stages > 1:
+                # microbatches flow through stages; the batch itself is
+                # replicated across the pipe mesh
+                imgs = jnp.asarray(imgs)
+            else:
+                imgs = shard_batch(jnp.asarray(imgs), mesh)
             state, metrics = step(state, imgs, step_rng)
             loss = float(metrics["loss"])
             if not math.isfinite(loss):  # NaN abort (engine_pretrain.py:52-54)

@@ -139,19 +139,34 @@ class MaskedAutoencoderViT(nn.Module):
         mask = jnp.take_along_axis(mask, ids_restore, axis=1)
         return x_masked, mask, ids_restore
 
-    def forward_encoder(self, imgs, mask_ratio, ids_shuffle=None, rng=None):
+    # The encoder/decoder each split into (pre -> block stack -> post) so the
+    # engine can swap the sequential block loop for the pipeline-parallel
+    # runner (train/mae_engine.make_pipelined_mae_pretrain_step) while pre/
+    # post still run through the same module methods.
+    def encode_tokens(self, imgs, mask_ratio, ids_shuffle=None, rng=None):
+        """Everything before the encoder blocks -> (x, mask, ids_restore)."""
+        if ids_shuffle is None and rng is None:
+            rng = self.make_rng("mask")
         x = self.patch_embed(imgs)
         x = x + self.pos_embed[:, 1:, :].astype(x.dtype)
         x, mask, ids_restore = self.masking(x, mask_ratio, ids_shuffle, rng)
         cls = (self.cls_token + self.pos_embed[:, :1, :]).astype(x.dtype)
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, cls.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)
-        for blk in self.blocks:
-            x = blk(x)
-        x = self.norm(x.astype(jnp.float32))
         return x, mask, ids_restore
 
-    def forward_decoder(self, x, ids_restore):
+    def encode_norm(self, x):
+        return self.norm(x.astype(jnp.float32))
+
+    def forward_encoder(self, imgs, mask_ratio, ids_shuffle=None, rng=None):
+        x, mask, ids_restore = self.encode_tokens(imgs, mask_ratio, ids_shuffle, rng)
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.encode_norm(x)
+        return x, mask, ids_restore
+
+    def decode_tokens(self, x, ids_restore):
+        """Everything before the decoder blocks (embed, unshuffle, pos)."""
         cfg = self.config
         x = self.decoder_embed(x)
         n = x.shape[0]
@@ -162,12 +177,18 @@ class MaskedAutoencoderViT(nn.Module):
         x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
         x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
         x = jnp.concatenate([x[:, :1, :], x_], axis=1)  # keep the real cls
-        x = x + self.decoder_pos_embed.astype(x.dtype)
-        for blk in self.decoder_blocks:
-            x = blk(x)
+        return x + self.decoder_pos_embed.astype(x.dtype)
+
+    def decode_pred(self, x):
         x = self.decoder_norm(x.astype(jnp.float32))
         x = self.decoder_pred(x)
         return x[:, 1:, :]
+
+    def forward_decoder(self, x, ids_restore):
+        x = self.decode_tokens(x, ids_restore)
+        for blk in self.decoder_blocks:
+            x = blk(x)
+        return self.decode_pred(x)
 
     def forward_loss(self, imgs, pred, mask):
         """Masked-patch MSE, optional per-patch normalization

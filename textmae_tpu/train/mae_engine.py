@@ -42,6 +42,67 @@ def make_mae_pretrain_step(model, tx, mask_ratio: float = 0.75, donate: bool = T
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_pipelined_mae_pretrain_step(
+    model,
+    tx,
+    mesh,
+    mask_ratio: float = 0.75,
+    num_microbatches: int = 4,
+    axis: str = "pipe",
+    donate: bool = True,
+):
+    """Pretrain step with the encoder/decoder block stacks run as pipeline
+    stages over `mesh`'s `axis` (parallel/pipeline.py): each stage holds
+    depth/P layers in its own HBM — for ViT-L/H depths whose params outgrow
+    one chip. Math-equivalent to make_mae_pretrain_step (tested); embed/
+    norm/pred stay replicated module calls. depth and decoder_depth must
+    divide by the stage count; the global batch by num_microbatches.
+    """
+    from textmae_tpu.models.mae import MaskedAutoencoderViT as M
+    from textmae_tpu.ops.vit import Block
+    from textmae_tpu.parallel.pipeline import pipelined_stack_apply
+
+    cfg = model.config
+    enc_block = Block(
+        cfg.embed_dim, cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+        use_pallas=cfg.use_pallas, dtype=cfg.dtype,
+    )
+    dec_block = Block(
+        cfg.decoder_embed_dim, cfg.decoder_num_heads, mlp_ratio=cfg.mlp_ratio,
+        use_pallas=cfg.use_pallas, dtype=cfg.dtype,
+    )
+
+    def loss_fn(params, imgs, rng):
+        v = {"params": params}
+        x, mask, ids_restore = model.apply(
+            v, imgs, mask_ratio, method=M.encode_tokens, rngs={"mask": rng}
+        )
+        x = pipelined_stack_apply(
+            enc_block, params, x, mesh, depth=cfg.depth,
+            num_microbatches=num_microbatches, prefix="blocks_", axis=axis,
+            shard=False,
+        )
+        x = model.apply(v, x, method=M.encode_norm)
+        x = model.apply(v, x, ids_restore, method=M.decode_tokens)
+        x = pipelined_stack_apply(
+            dec_block, params, x, mesh, depth=cfg.decoder_depth,
+            num_microbatches=num_microbatches, prefix="decoder_blocks_",
+            axis=axis, shard=False,
+        )
+        pred = model.apply(v, x, method=M.decode_pred)
+        return model.apply(v, imgs, pred, mask, method=M.forward_loss)
+
+    def step(state: TrainState, imgs: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, imgs, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 # ---------------------------------------------------------------------------
 # classification (finetune / linprobe)
 # ---------------------------------------------------------------------------
