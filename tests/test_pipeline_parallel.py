@@ -162,3 +162,56 @@ def test_pipelined_mae_pretrain_step_matches_sequential():
     # Adam divides by sqrt(v): float-noise gradient differences surface as
     # ~1e-5-scale param deltas after a couple of steps — not a schedule bug
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_dp_x_pp_matches_sequential(setup):
+    """("data", "pipe") mesh: batch sharded over data while layers pipeline
+    over pipe — output must still equal the sequential stack."""
+    block, params, x, y_ref = setup
+    mesh = make_mesh({"data": 2, "pipe": 4}, devices=jax.devices()[:8])
+    y = pipelined_stack_apply(
+        block, params, x, mesh, depth=DEPTH, num_microbatches=2,
+        batch_axis="data",
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+
+def test_dp_x_pp_pretrain_step_matches_sequential():
+    """DP x PP pretrain step == sequential step (loss + params)."""
+    import optax
+
+    from textmae_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+    from textmae_tpu.parallel import shard_batch
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.mae_engine import (
+        make_mae_pretrain_step,
+        make_pipelined_mae_pretrain_step,
+    )
+
+    cfg = MAEConfig(
+        img_size=32, patch_size=8, embed_dim=16, depth=4, num_heads=2,
+        decoder_embed_dim=8, decoder_depth=2, decoder_num_heads=2,
+        use_pallas=False,
+    )
+    model = MaskedAutoencoderViT(cfg)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    variables = model.init({"params": rng, "mask": rng}, imgs, 0.75)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh({"data": 2, "pipe": 2}, devices=jax.devices()[:4])
+
+    s_seq = TrainState.create(variables["params"], tx)
+    s_pp = TrainState.create(variables["params"], tx)
+    step_seq = make_mae_pretrain_step(model, tx, 0.75, donate=False)
+    step_pp = make_pipelined_mae_pretrain_step(
+        model, tx, mesh, 0.75, num_microbatches=2, batch_axis="data",
+        donate=False,
+    )
+    key = jax.random.PRNGKey(7)
+    s_seq, m_seq = step_seq(s_seq, imgs, key)
+    s_pp, m_pp = step_pp(s_pp, shard_batch(imgs, mesh, axis="data"), key)
+    assert float(m_seq["loss"]) == pytest.approx(float(m_pp["loss"]), rel=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_seq.params, s_pp.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4

@@ -119,12 +119,17 @@ def main(argv=None):
     if args.pipeline_stages > 1:
         from textmae_tpu.train.mae_engine import make_pipelined_mae_pretrain_step
 
-        mesh = make_mesh(
-            {"pipe": args.pipeline_stages},
-            devices=jax.devices()[: args.pipeline_stages],
-        )
+        # DP x PP: leftover devices become a "data" axis (batch sharded
+        # over it) while stages pipeline over "pipe"
+        dp = max(len(jax.devices()) // args.pipeline_stages, 1)
+        axes = {"pipe": args.pipeline_stages}
+        if dp > 1:
+            axes = {"data": dp, "pipe": args.pipeline_stages}
+        mesh = make_mesh(axes, devices=jax.devices()[: dp * args.pipeline_stages])
         step = make_pipelined_mae_pretrain_step(
-            model, tx, mesh, args.mask_ratio, num_microbatches=args.microbatches
+            model, tx, mesh, args.mask_ratio,
+            num_microbatches=args.microbatches,
+            batch_axis="data" if dp > 1 else None,
         )
     else:
         mesh = make_mesh()
@@ -142,9 +147,13 @@ def main(argv=None):
         )
         for imgs, _ in logger.log_every(it, args.print_freq, f"Epoch: [{epoch}]"):
             if args.pipeline_stages > 1:
-                # microbatches flow through stages; the batch itself is
-                # replicated across the pipe mesh
-                imgs = jnp.asarray(imgs)
+                # shard over the "data" axis when present; microbatches flow
+                # through the "pipe" stages either way
+                imgs = (
+                    shard_batch(jnp.asarray(imgs), mesh)
+                    if "data" in mesh.shape
+                    else jnp.asarray(imgs)
+                )
             else:
                 imgs = shard_batch(jnp.asarray(imgs), mesh)
             state, metrics = step(state, imgs, step_rng)

@@ -78,6 +78,7 @@ def pipeline_apply(
     xs: jnp.ndarray,
     mesh: Mesh,
     axis: str = "pipe",
+    batch_axis: str = None,
 ):
     """Run `depth` layers over P pipeline stages on M microbatches.
 
@@ -86,8 +87,15 @@ def pipeline_apply(
                     depth must divide evenly by mesh.shape[axis].
     xs              (M, *microbatch_shape) microbatch stack; every microbatch
                     shares one compiled stage program (static shapes).
+    batch_axis      optional second mesh axis for data parallelism: the
+                    microbatch dim (xs axis 1) is sharded over it, so a
+                    ("data", "pipe") mesh runs DP x PP — each data slice
+                    flows through its own copy of the pipeline schedule and
+                    XLA handles the gradient psum over "data" at the
+                    consumer (the usual SPMD contract).
 
-    Returns (M, *microbatch_shape) outputs, replicated across the mesh.
+    Returns (M, *microbatch_shape) outputs, replicated over `axis` (and
+    sharded over `batch_axis` like the input).
     """
     n_stages = mesh.shape[axis]
     depth = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -136,9 +144,10 @@ def pipeline_apply(
         outbuf = jnp.where(pid == n_stages - 1, outbuf, jnp.zeros_like(outbuf))
         return lax.psum(outbuf, axis)
 
-    in_specs = (jax.tree.map(lambda _: P(axis), stacked_params), P())
+    xs_spec = P(None, batch_axis) if batch_axis else P()
+    in_specs = (jax.tree.map(lambda _: P(axis), stacked_params), xs_spec)
     return jax.shard_map(
-        stage, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+        stage, mesh=mesh, in_specs=in_specs, out_specs=xs_spec, check_vma=False
     )(stacked_params, xs)
 
 
@@ -152,6 +161,7 @@ def pipelined_stack_apply(
     num_microbatches: int,
     prefix: str = "blocks_",
     axis: str = "pipe",
+    batch_axis: str = None,
     shard: bool = True,
 ) -> jnp.ndarray:
     """Pipeline a flax Block stack over `axis`: drop-in for the sequential
@@ -174,5 +184,5 @@ def pipelined_stack_apply(
         return block_module.apply({"params": layer_params}, h)
 
     xs = x.reshape(num_microbatches, n // num_microbatches, *x.shape[1:])
-    ys = pipeline_apply(block_fn, stacked, xs, mesh, axis=axis)
+    ys = pipeline_apply(block_fn, stacked, xs, mesh, axis=axis, batch_axis=batch_axis)
     return ys.reshape(n, *x.shape[1:])

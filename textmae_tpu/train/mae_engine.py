@@ -49,6 +49,7 @@ def make_pipelined_mae_pretrain_step(
     mask_ratio: float = 0.75,
     num_microbatches: int = 4,
     axis: str = "pipe",
+    batch_axis: str = None,
     donate: bool = True,
 ):
     """Pretrain step with the encoder/decoder block stacks run as pipeline
@@ -57,6 +58,11 @@ def make_pipelined_mae_pretrain_step(
     one chip. Math-equivalent to make_mae_pretrain_step (tested); embed/
     norm/pred stay replicated module calls. depth and decoder_depth must
     divide by the stage count; the global batch by num_microbatches.
+
+    batch_axis: name of a data axis in `mesh` for DP x PP — shard the batch
+    over it (parallel.shard_batch(batch, mesh, axis=batch_axis)) and each
+    data slice runs its own pipeline; gradients sync through XLA's SPMD
+    partitioning as usual.
     """
     from textmae_tpu.models.mae import MaskedAutoencoderViT as M
     from textmae_tpu.ops.vit import Block
@@ -80,14 +86,14 @@ def make_pipelined_mae_pretrain_step(
         x = pipelined_stack_apply(
             enc_block, params, x, mesh, depth=cfg.depth,
             num_microbatches=num_microbatches, prefix="blocks_", axis=axis,
-            shard=False,
+            batch_axis=batch_axis, shard=False,
         )
         x = model.apply(v, x, method=M.encode_norm)
         x = model.apply(v, x, ids_restore, method=M.decode_tokens)
         x = pipelined_stack_apply(
             dec_block, params, x, mesh, depth=cfg.decoder_depth,
             num_microbatches=num_microbatches, prefix="decoder_blocks_",
-            axis=axis, shard=False,
+            axis=axis, batch_axis=batch_axis, shard=False,
         )
         pred = model.apply(v, x, method=M.decode_pred)
         return model.apply(v, imgs, pred, mask, method=M.forward_loss)
