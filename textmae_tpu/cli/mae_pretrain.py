@@ -119,6 +119,14 @@ def main(argv=None):
     if args.pipeline_stages > 1:
         from textmae_tpu.train.mae_engine import make_pipelined_mae_pretrain_step
 
+        if jax.process_count() > 1:
+            raise SystemExit(
+                "--pipeline_stages is a single-process (all-local-devices) "
+                "feature for now: the per-process data loading below feeds "
+                "per-host batches, which a cross-host pipe/data mesh would "
+                "silently mis-shard. Use cli.launch multi-process DP without "
+                "pipelining, or run the pipelined job on one host."
+            )
         # DP x PP: leftover devices become a "data" axis (batch sharded
         # over it) while stages pipeline over "pipe"
         dp = max(len(jax.devices()) // args.pipeline_stages, 1)
@@ -146,16 +154,11 @@ def main(argv=None):
             shard_index=jax.process_index(), shard_count=world,
         )
         for imgs, _ in logger.log_every(it, args.print_freq, f"Epoch: [{epoch}]"):
-            if args.pipeline_stages > 1:
-                # shard over the "data" axis when present; microbatches flow
-                # through the "pipe" stages either way
-                imgs = (
-                    shard_batch(jnp.asarray(imgs), mesh)
-                    if "data" in mesh.shape
-                    else jnp.asarray(imgs)
-                )
-            else:
-                imgs = shard_batch(jnp.asarray(imgs), mesh)
+            # shard over the "data" axis when the mesh has one (a pipe-only
+            # mesh replicates the batch; microbatches flow through "pipe")
+            imgs = jnp.asarray(imgs)
+            if "data" in mesh.shape:
+                imgs = shard_batch(imgs, mesh)
             state, metrics = step(state, imgs, step_rng)
             loss = float(metrics["loss"])
             if not math.isfinite(loss):  # NaN abort (engine_pretrain.py:52-54)

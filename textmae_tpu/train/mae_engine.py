@@ -24,12 +24,9 @@ from textmae_tpu.train.state import TrainState
 # ---------------------------------------------------------------------------
 # pretrain
 # ---------------------------------------------------------------------------
-def make_mae_pretrain_step(model, tx, mask_ratio: float = 0.75, donate: bool = True):
-    def loss_fn(params, imgs, rng):
-        loss, _, _ = model.apply(
-            {"params": params}, imgs, mask_ratio, training=True, rngs={"mask": rng}
-        )
-        return loss
+def _make_update_step(loss_fn, tx, donate: bool):
+    """Shared (fold_in -> grad -> optax update) step around a loss_fn(params,
+    imgs, rng) — single definition for the sequential and pipelined factories."""
 
     def step(state: TrainState, imgs: jnp.ndarray, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -40,6 +37,16 @@ def make_mae_pretrain_step(model, tx, mask_ratio: float = 0.75, donate: bool = T
         return new_state, {"loss": loss}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_mae_pretrain_step(model, tx, mask_ratio: float = 0.75, donate: bool = True):
+    def loss_fn(params, imgs, rng):
+        loss, _, _ = model.apply(
+            {"params": params}, imgs, mask_ratio, training=True, rngs={"mask": rng}
+        )
+        return loss
+
+    return _make_update_step(loss_fn, tx, donate)
 
 
 def make_pipelined_mae_pretrain_step(
@@ -69,11 +76,17 @@ def make_pipelined_mae_pretrain_step(
     from textmae_tpu.parallel.pipeline import pipelined_stack_apply
 
     cfg = model.config
-    enc_block = Block(
+    # mirror the model's own block construction, INCLUDING remat — dropping
+    # activation checkpointing here would regress memory exactly on the
+    # large models this step targets
+    import flax.linen as nn
+
+    block_cls = nn.remat(Block) if cfg.remat else Block
+    enc_block = block_cls(
         cfg.embed_dim, cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
         use_pallas=cfg.use_pallas, dtype=cfg.dtype,
     )
-    dec_block = Block(
+    dec_block = block_cls(
         cfg.decoder_embed_dim, cfg.decoder_num_heads, mlp_ratio=cfg.mlp_ratio,
         use_pallas=cfg.use_pallas, dtype=cfg.dtype,
     )
@@ -98,15 +111,7 @@ def make_pipelined_mae_pretrain_step(
         pred = model.apply(v, x, method=M.decode_pred)
         return model.apply(v, imgs, pred, mask, method=M.forward_loss)
 
-    def step(state: TrainState, imgs: jnp.ndarray, rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, imgs, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
-        return new_state, {"loss": loss}
-
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return _make_update_step(loss_fn, tx, donate)
 
 
 # ---------------------------------------------------------------------------
