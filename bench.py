@@ -79,12 +79,38 @@ def main():
     cfg = MCMConfig(dtype=jnp.bfloat16)
     model = MCM(cfg)
     rng = jax.random.PRNGKey(0)
-    variables = jax.jit(
-        lambda r: model.init(
-            {"params": r, "noise": r}, imgs[:1], scores[:1],
-            training=False, compute_loss=False,
+
+    # Trained weights (VERDICT r1 Missing #4): prefer the committed
+    # distribution checkpoint; $TEXTMAE_BENCH_CKPT overrides; fall back to
+    # random init with an explicit machine-readable "untrained": true field.
+    ckpt = Path(
+        os.environ.get(
+            "TEXTMAE_BENCH_CKPT",
+            Path(__file__).parent / "checkpoints" / "mcm_kodak_l1_150k.f16.npz",
         )
-    )(rng)
+    )
+    if ckpt.is_file():
+        from textmae_tpu.train.checkpoint import load_params_npz
+
+        variables = {"params": load_params_npz(ckpt)}
+        untrained = False
+        # the checkpoint was trained on ImageNet-normalized inputs
+        # (train CLI --normalize); feed its training distribution and
+        # de-normalize for raw-pixel metrics
+        mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
+        std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
+        imgs_model = (imgs - mean) / std
+        to_pixels = lambda x: jnp.clip(x * std + mean, 0.0, 1.0)
+    else:
+        variables = jax.jit(
+            lambda r: model.init(
+                {"params": r, "noise": r}, imgs[:1], scores[:1],
+                training=False, compute_loss=False,
+            )
+        )(rng)
+        untrained = True
+        imgs_model = imgs
+        to_pixels = lambda x: x
     codec = MCMCodec(model, variables, num_threads=16)
     codec.update(force=True)
 
@@ -125,7 +151,7 @@ def main():
 
         with ThreadPoolExecutor(workers) as pool:
             parts = list(
-                pool.map(lambda se: sub_round_trip(imgs[se[0]:se[1]], scores[se[0]:se[1]]), bounds)
+                pool.map(lambda se: sub_round_trip(imgs_model[se[0]:se[1]], scores[se[0]:se[1]]), bounds)
             )
         import jax.numpy as jnp_
 
@@ -135,7 +161,7 @@ def main():
 
     # warmup / compile
     x_hat, bpp = round_trip()
-    metrics = compute_metrics(imgs, x_hat)
+    metrics = compute_metrics(imgs, to_pixels(x_hat))
     setup_s = time.time() - t_setup
 
     reps = int(os.environ.get("BENCH_REPS", "6"))
@@ -176,7 +202,12 @@ def main():
                 "setup_s": round(setup_s, 1),
                 "enc_s_per_rep": round(phase_acc["enc"] / max(reps * windows, 1), 3),
                 "dec_s_per_rep": round(phase_acc["dec"] / max(reps * windows, 1), 3),
-                "note": "untrained weights; bpp/psnr are pipeline sanity values, throughput is the benchmark",
+                "untrained": untrained,
+                "note": (
+                    "untrained weights; bpp/psnr are pipeline sanity values only"
+                    if untrained
+                    else f"trained checkpoint {ckpt.name}; metrics in raw pixel space"
+                ),
             }
         )
     )

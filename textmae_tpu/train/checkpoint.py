@@ -74,6 +74,44 @@ def restore_checkpoint(path: os.PathLike, state_template=None) -> Tuple[Any, Dic
     return state, payload["meta"]
 
 
+def save_params_npz(path: os.PathLike, params: Dict, dtype=np.float16) -> Path:
+    """Write a params pytree as a flat compressed npz (distribution format).
+
+    Float leaves are cast to `dtype` (f16 halves the artifact size; rounding
+    is applied identically on encode and decode since the codec rebuilds its
+    CDF tables from the loaded params, so bitstream round-trips stay exact).
+    Keys are "/"-joined paths. Counterpart of the reference's torch.save
+    weights file (model_utils.py:40-48) for shipping trained weights in-repo.
+    """
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(jax.tree.map(np.asarray, params), sep="/")
+    out = {
+        k: (v.astype(dtype) if np.issubdtype(v.dtype, np.floating) else v)
+        for k, v in flat.items()
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **out)
+    return path
+
+
+def load_params_npz(path: os.PathLike, dtype=np.float32) -> Dict:
+    """Load a params pytree saved by save_params_npz; floats cast to `dtype`."""
+    import flax.traverse_util as tu
+
+    with np.load(Path(path)) as z:
+        flat = {
+            k: (
+                np.asarray(v, dtype)
+                if np.issubdtype(v.dtype, np.floating)
+                else np.asarray(v)
+            )
+            for k, v in z.items()
+        }
+    return tu.unflatten_dict(flat, sep="/")
+
+
 class BestTracker:
     """Best-by-val-loss selection + copy (training.py:188-198 semantics)."""
 
