@@ -166,7 +166,8 @@ def main():
             save(it + 1)
     print(f"{args.steps} steps in {time.time() - t0:.0f}s", flush=True)
     # skip the trailing eval/save when the loop's last step just did both
-    if not (args.eval_every and args.steps % args.eval_every == 0):
+    # (the in-loop trigger fires on the absolute step, so test that)
+    if not (args.eval_every and (start_step + args.steps) % args.eval_every == 0):
         eval_codec(state.params, "AFTER:")
         save(start_step + args.steps)
 

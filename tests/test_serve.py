@@ -93,6 +93,25 @@ def test_container_rejects_corruption(setup):
         container.check_compatible(meta, other)
 
 
+def test_container_normalize_flag(setup):
+    """A blob records its pixel-space mode; a mismatched decoder rejects it
+    (ADVICE r1: normalized blob + unnormalized server would silently yield
+    wrong pixels)."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update()
+    streams, ids = codec.compress(imgs, scores)
+    payloads, _ = code_side_info(ids, TINY.num_keep_patches, TINY.canonical_keep_order)
+    for mode in (False, True):
+        blob = container.pack_image(streams[0], payloads[0], TINY, normalize=mode)
+        _, _, meta = container.unpack_image(blob)
+        assert meta["normalize"] is mode
+        container.check_compatible(meta, TINY, normalize=mode)
+        container.check_compatible(meta, TINY)  # mode unchecked when absent
+        with pytest.raises(ValueError):
+            container.check_compatible(meta, TINY, normalize=not mode)
+
+
 def _png_bytes(arr_hwc_f01: np.ndarray) -> bytes:
     buf = io.BytesIO()
     Image.fromarray((arr_hwc_f01 * 255).astype(np.uint8)).save(buf, format="PNG")

@@ -139,7 +139,11 @@ def run_gang(
             if nnodes == 1:
                 coordinator = f"localhost:{_free_port()}"  # old port may linger
     print(f"[launch] giving up after {max_restarts + 1} attempts", file=sys.stderr)
-    return int(failed or 1)
+    failed = int(failed or 1)
+    # a signal-killed worker yields a negative Popen returncode (e.g. -9);
+    # report the shell convention 128+signum instead of letting the OS wrap
+    # it mod 256 into an unrelated-looking status
+    return 128 - failed if failed < 0 else failed
 
 
 def main(argv=None) -> int:

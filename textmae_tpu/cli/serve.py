@@ -220,7 +220,8 @@ class CodecService:
         for i in valid:
             try:
                 outs[i] = container.pack_image(
-                    streams[i], payloads[i], self.cfg, orig_sizes[i]
+                    streams[i], payloads[i], self.cfg, orig_sizes[i],
+                    normalize=self.normalize,
                 )
             except Exception as e:  # e.g. orig dims beyond the header's u16
                 outs[i] = e
@@ -240,7 +241,7 @@ class CodecService:
         for i, blob in enumerate(blobs):
             try:
                 stream, side, meta = container.unpack_image(blob)
-                container.check_compatible(meta, self.cfg)
+                container.check_compatible(meta, self.cfg, normalize=self.normalize)
                 ids.append(
                     decode_side_info(
                         side,

@@ -15,6 +15,8 @@ Layout (little-endian):
     num_patches  H
     num_keep     H
     canonical    B   1 = canonical keep order (subset-coded side info)
+    normalize    B   1 = pixels were ImageNet-normalized before compression
+                     (decoder must de-normalize the reconstruction)
     z_h, z_w     B,B hyperlatent grid
     orig_w       H   original image width  (recon is resized back to this)
     orig_h       H   original image height
@@ -31,8 +33,8 @@ from typing import Dict, Optional, Tuple
 from textmae_tpu.eval.codec import CompressedImage
 
 MAGIC = b"TMC1"
-VERSION = 1
-_HEADER = struct.Struct("<4sBHHHBBBHHIIH")
+VERSION = 2  # v2 adds the normalize flag byte (ADVICE r1)
+_HEADER = struct.Struct("<4sBHHHBBBBHHIIH")
 
 
 def pack_image(
@@ -40,6 +42,7 @@ def pack_image(
     side_payload: bytes,
     config,
     orig_size: Optional[Tuple[int, int]] = None,
+    normalize: bool = False,
 ) -> bytes:
     """Serialize one image's compressed representation to bytes."""
     hz, wz = stream.z_shape
@@ -53,6 +56,7 @@ def pack_image(
         config.num_patches,
         config.num_keep_patches,
         int(config.canonical_keep_order),
+        int(normalize),
         hz,
         wz,
         orig_w,
@@ -75,6 +79,7 @@ def unpack_image(data: bytes) -> Tuple[CompressedImage, bytes, Dict]:
         num_patches,
         num_keep,
         canonical,
+        normalize,
         hz,
         wz,
         orig_w,
@@ -98,14 +103,20 @@ def unpack_image(data: bytes) -> Tuple[CompressedImage, bytes, Dict]:
         "num_patches": num_patches,
         "num_keep_patches": num_keep,
         "canonical_keep_order": bool(canonical),
+        "normalize": bool(normalize),
         "orig_size": (orig_w, orig_h),
         "z_shape": (hz, wz),
     }
     return CompressedImage(y_string, z_string, (hz, wz)), bytes(side), meta
 
 
-def check_compatible(meta: Dict, config) -> None:
-    """Raise if a container was produced under an incompatible model config."""
+def check_compatible(meta: Dict, config, normalize: Optional[bool] = None) -> None:
+    """Raise if a container was produced under an incompatible model config.
+
+    normalize: the decoding service's pixel-space mode; when given, a
+    mismatch with the container's recorded mode is an error (a normalized
+    blob decoded by an unnormalized server would silently yield wrong
+    pixel values, and vice versa)."""
     for key in ("img_size", "num_patches", "num_keep_patches"):
         if meta[key] != getattr(config, key):
             raise ValueError(
@@ -114,6 +125,11 @@ def check_compatible(meta: Dict, config) -> None:
             )
     if meta["canonical_keep_order"] != config.canonical_keep_order:
         raise ValueError("container keep-order mode differs from model config")
+    if normalize is not None and meta["normalize"] != normalize:
+        raise ValueError(
+            f"container normalize={meta['normalize']} != decoder "
+            f"normalize={normalize}"
+        )
     g = config.hyper_grid
     if meta["z_shape"] != (g, g):
         # the z grid sizes device buffers and the host rANS decode loop; a

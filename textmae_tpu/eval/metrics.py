@@ -14,13 +14,14 @@ from textmae_tpu.ops.ssim import ms_ssim
 
 
 def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0) -> jnp.ndarray:
-    """Mean of per-image PSNRs (the reference's per-image accounting,
-    testing.py:44-49 + :159-164). Pooling MSE across the batch before the
-    log would let one hard image dominate and make the average depend on
-    batch size."""
+    """PSNR; for batched 4-D (N, C, H, W) input, the mean of per-image PSNRs
+    (the reference's per-image accounting, testing.py:44-49 + :159-164 —
+    pooling MSE across the batch before the log would let one hard image
+    dominate and make the average depend on batch size). Unbatched (C, H, W)
+    or (H, W) input gets whole-image PSNR."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    axes = tuple(range(1, a.ndim)) if a.ndim > 1 else ()
+    axes = tuple(range(1, a.ndim)) if a.ndim == 4 else ()
     mse = jnp.mean((a - b) ** 2, axis=axes) if axes else jnp.mean((a - b) ** 2)
     return jnp.mean(20 * jnp.log10(max_val) - 10 * jnp.log10(mse))
 
