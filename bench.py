@@ -19,23 +19,17 @@ from pathlib import Path
 
 import numpy as np
 
-KODAK_DIRS = [
-    Path(os.environ.get("TEXTMAE_KODAK", "")),
-    Path("/root/reference/datasets/kodak"),
-    Path("datasets/kodak"),
-]
 TARGET_IMG_PER_S = 50.0
 
 
 def load_images(img_size=224):
     from PIL import Image
 
-    files = []
-    for d in KODAK_DIRS:
-        if d and d.is_dir():
-            files = sorted(d.glob("*.png"))
-            if files:
-                break
+    from textmae_tpu.data.paths import find_kodak
+
+    # $TEXTMAE_KODAK / registry / reference mount / vendored fixtures
+    d = find_kodak()
+    files = sorted(d.glob("*.png")) if d else []
     rng = np.random.default_rng(0)
     if not files:  # synthetic fallback: bench still runs anywhere
         return rng.random((24, img_size, img_size, 3), np.float32), None

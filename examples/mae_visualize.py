@@ -17,7 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("-i", "--image", default="/root/reference/datasets/kodak/kodim23.png")
+    from textmae_tpu.data.paths import find_kodak
+
+    kodak = find_kodak()
+    p.add_argument(
+        "-i", "--image",
+        default=str(kodak / "kodim23.png") if kodak else None, required=kodak is None,
+    )
     p.add_argument("-c", "--checkpoint", default=None, help="torch MAE checkpoint")
     p.add_argument("--model", default="mae_vit_base_patch16")
     p.add_argument("--mask-ratio", type=float, default=0.75)

@@ -39,7 +39,9 @@ def build_dataset(root: Path, kodak: Path | None, n_train=8, n_val=2, size=224):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5)
-    p.add_argument("--kodak", type=str, default="/root/reference/datasets/kodak")
+    from textmae_tpu.data.paths import find_kodak
+
+    p.add_argument("--kodak", type=str, default=find_kodak())
     p.add_argument("--keep", type=int, default=144)
     args = p.parse_args()
 

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mae-checkpoint", type=str, default=None,
                    help="pretrained torch MAE checkpoint to import")
     p.add_argument("--no-vgg", action="store_true", help="disable the VGG perceptual term")
+    p.add_argument("--vgg-weights", type=str, default=None,
+                   help="torchvision vgg16 state dict for the perceptual loss "
+                        "(default $TEXTMAE_VGG16_WEIGHTS; unset -> random-init "
+                        "features, with a logged warning)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 transformer compute")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--save-every", type=int, default=1)
@@ -111,7 +115,7 @@ def main(argv=None):
     if not args.no_vgg:
         from textmae_tpu.losses.vgg import load_vgg_variables
 
-        vgg_variables = load_vgg_variables()
+        vgg_variables = load_vgg_variables(args.vgg_weights)
 
     tx = configure_optimizers(
         params,

@@ -21,6 +21,26 @@ DATASET_PATHS = {
 }
 
 
+def find_kodak() -> Path | None:
+    """First available Kodak image directory, by preference:
+
+    $TEXTMAE_KODAK -> the registry path -> the reference mount (full-res
+    originals) -> the vendored half-resolution copies under tests/fixtures
+    (self-contained: the suite and bench run with no reference mount; the
+    24 Kodak images are released by Kodak for unrestricted use).
+    """
+    repo = Path(__file__).resolve().parents[2]
+    for d in (
+        Path(os.environ.get("TEXTMAE_KODAK", "")),
+        resolve_dataset("kodak"),
+        Path("/root/reference/datasets/kodak"),
+        repo / "tests" / "fixtures" / "kodak_half",
+    ):
+        if d and d.is_dir() and any(d.glob("*.png")):
+            return d
+    return None
+
+
 def resolve_dataset(name_or_path: str) -> Path:
     """A registered name resolves under TEXTMAE_DATA_ROOT; anything else is a path."""
     env = os.environ.get(f"TEXTMAE_DATASET_{name_or_path.upper().replace('-', '_')}")

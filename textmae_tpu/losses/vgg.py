@@ -71,8 +71,11 @@ def load_vgg_variables(weights_path: str | None = None, img_size: int = 224):
     weights_path: a torch state dict of torchvision vgg16 (or its `features`
     submodule). Defaults to $TEXTMAE_VGG16_WEIGHTS. Without weights the loss
     uses the random-init network (a fixed random projection — still a usable
-    perceptual surrogate; document in training logs).
+    perceptual surrogate, but a DIFFERENT objective than the reference's
+    pretrained features, vgg.py:99) — a prominent warning is logged so
+    training runs can't silently diverge from the reference objective.
     """
+    import logging
     import os
 
     import jax
@@ -86,6 +89,14 @@ def load_vgg_variables(weights_path: str | None = None, img_size: int = 224):
         from textmae_tpu.train.checkpoint import convert_vgg16_state_dict
 
         variables = {"params": convert_vgg16_state_dict(weights_path, variables["params"])}
+    else:
+        logging.getLogger(__name__).warning(
+            "VGG16 perceptual loss is running on RANDOM-INIT features: no "
+            "--vgg-weights given and $TEXTMAE_VGG16_WEIGHTS unset. This "
+            "optimizes a different perceptual objective than the reference's "
+            "pretrained VGG16 (loss/vgg.py:99). Pass a torchvision vgg16 "
+            "state dict to match it."
+        )
     return variables
 
 
