@@ -182,6 +182,35 @@ def main():
     # on identical code) would otherwise dominate a single measurement
     img_per_s = max(measure_window() for _ in range(windows))
 
+    # ---- stage 3 (refine) throughput: the north-star metric names
+    # compress+decompress+REFINE (BASELINE.json). Real SDXL weights are not
+    # downloadable here, so the refiner runs the full native code path
+    # (VAE encode -> Euler/UNet scan with CFG -> VAE decode, one jit) at
+    # reduced dims; fields are labelled accordingly. BENCH_REFINE=0 skips.
+    refine_fields = {}
+    if os.environ.get("BENCH_REFINE", "1") != "0":
+        try:
+            from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
+
+            refiner = SDXLRefiner(RefinerConfig.tiny(dtype=jnp.bfloat16))
+            caps = ["kodak photograph"] * n
+            pix = np.asarray(to_pixels(x_hat)).transpose(0, 2, 3, 1)
+            refined = jax.block_until_ready(refiner.refine_batch(pix, caps))
+            t0 = time.time()
+            refine_reps = max(reps // 2, 1)
+            for _ in range(refine_reps):
+                refined = refiner.refine_batch(pix, caps)
+            jax.block_until_ready(refined)
+            refine_rate = n * refine_reps / (time.time() - t0)
+            combined = 1.0 / (1.0 / img_per_s + 1.0 / refine_rate)
+            refine_fields = {
+                "refine_img_per_s": round(refine_rate, 3),
+                "pipeline_img_per_s": round(combined, 3),
+                "refine_note": "native flax refiner, reduced dims, random weights",
+            }
+        except Exception as e:  # never let stage 3 sink the headline bench
+            refine_fields = {"refine_note": f"skipped: {e}"}
+
     print(
         json.dumps(
             {
@@ -196,6 +225,7 @@ def main():
                 "setup_s": round(setup_s, 1),
                 "enc_s_per_rep": round(phase_acc["enc"] / max(reps * windows, 1), 3),
                 "dec_s_per_rep": round(phase_acc["dec"] / max(reps * windows, 1), 3),
+                **refine_fields,
                 "untrained": untrained,
                 "note": (
                     "untrained weights; bpp/psnr are pipeline sanity values only"

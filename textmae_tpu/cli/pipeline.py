@@ -29,6 +29,11 @@ def build_parser():
     p.add_argument("--num-keep-patches", type=int, default=144)
     p.add_argument("--no-caption", action="store_true")
     p.add_argument("--no-refine", action="store_true")
+    p.add_argument("--refine-backend", choices=("native", "torch"), default="native",
+                   help="native = flax SDXL refiner jitted on TPU "
+                        "(textmae_tpu.diffusion); torch = diffusers pipeline")
+    p.add_argument("--refine-steps", type=int, default=None,
+                   help="denoise steps for the refiner (default: config)")
     return p
 
 
@@ -118,7 +123,9 @@ def main(argv=None):
         try:
             from textmae_tpu.models.diffusion import Diffuser
 
-            diffuser = Diffuser.prepare_model()
+            diffuser = Diffuser.prepare_model(
+                backend=args.refine_backend, num_inference_steps=args.refine_steps
+            )
             refined = diffuser.refine_image(caption or "a photo", recon_img)
             refined_path = out_dir / "refined.png"
             refined.save(refined_path)

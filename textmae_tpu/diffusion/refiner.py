@@ -1,0 +1,178 @@
+"""SDXL img2img refiner pipeline — stage 3, jit-compiled on TPU.
+
+Native replacement for the reference's diffusers wrapper
+(/root/reference/models/Diffusion/__init__.py:8-28): caption + blurry MCM
+reconstruction -> refined image. The whole hot path — VAE encode, the
+Euler denoise loop over the UNet (with classifier-free guidance), VAE
+decode — is ONE jitted function; the loop is a `lax.scan` over the
+precomputed (timestep, sigma) schedule, so XLA compiles a single program per
+(shape, step-count) and TPU never syncs with the host mid-loop.
+
+Weights: random-init by default (architecture/throughput path, zero-egress
+builds); `load_sdxl_weights` (textmae_tpu.diffusion.convert) imports a
+diffusers SDXL-refiner snapshot from $TEXTMAE_SDXL_PATH.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from textmae_tpu.diffusion.clip_text import CLIPTextConfig, CLIPTextEncoder, hash_tokenize
+from textmae_tpu.diffusion.scheduler import (
+    EulerSchedule,
+    add_noise,
+    euler_schedule,
+    euler_step,
+    img2img_slice,
+    scale_model_input,
+)
+from textmae_tpu.diffusion.unet import UNet2DCondition, UNetConfig
+from textmae_tpu.diffusion.vae import AutoencoderKL, VAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinerConfig:
+    unet: UNetConfig = UNetConfig()
+    vae: VAEConfig = VAEConfig()
+    text: CLIPTextConfig = CLIPTextConfig()
+    num_inference_steps: int = 50
+    strength: float = 0.3  # img2img: fraction of the schedule actually run
+    guidance_scale: float = 7.5
+    aesthetic_score: float = 6.0
+    negative_aesthetic_score: float = 2.5
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "RefinerConfig":
+        """Reduced dims for tests / compile-fast bench: full topology, tiny widths."""
+        return cls(
+            unet=UNetConfig(
+                block_out_channels=(32, 64, 64),
+                attn_blocks=(False, True, True),
+                transformer_layers_per_block=1,
+                attention_head_dim=16,
+                cross_attention_dim=64,
+                addition_time_embed_dim=16,
+                pooled_projection_dim=64,
+                norm_groups=8,
+                dtype=dtype,
+            ),
+            # 4 blocks = the real SDXL 8x spatial factor: the UNet (and its
+            # attention) must see 1/8-resolution latents, or refining a
+            # full-resolution image explodes the attention sequence length
+            vae=VAEConfig(block_out_channels=(16, 24, 32, 32), norm_groups=8, dtype=dtype),
+            text=CLIPTextConfig(
+                vocab_size=1024, width=64, layers=2, heads=4, projection_dim=64,
+                eos_token_id=1023, bos_token_id=1022, dtype=dtype,
+            ),
+            num_inference_steps=4,
+            strength=0.5,
+        )
+
+
+class SDXLRefiner:
+    """Holds modules + params; `refine_batch` is the jitted workhorse."""
+
+    def __init__(self, config: RefinerConfig, rng: Optional[jax.Array] = None):
+        self.config = config
+        self.unet = UNet2DCondition(config.unet)
+        self.vae = AutoencoderKL(config.vae)
+        self.text_encoder = CLIPTextEncoder(config.text)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        ru, rv, rt = jax.random.split(rng, 3)
+        self.params = self._init_params(ru, rv, rt)
+
+    def _init_params(self, ru, rv, rt):
+        cfg = self.config
+        img = 64  # init shapes are placeholder; flax params are shape-generic in H/W
+        lat = img // (2 ** (len(cfg.vae.block_out_channels) - 1))
+        sample = jnp.zeros((1, lat, lat, cfg.unet.in_channels), jnp.float32)
+        ctx = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim), jnp.float32)
+        pooled = jnp.zeros((1, cfg.unet.pooled_projection_dim), jnp.float32)
+        tids = jnp.zeros((1, cfg.unet.num_time_ids), jnp.float32)
+        ids = jnp.zeros((1, cfg.text.max_length), jnp.int32)
+        return {
+            "unet": self.unet.init(ru, sample, jnp.float32(1.0), ctx, pooled, tids)["params"],
+            "vae": self.vae.init(rv, jnp.zeros((1, img, img, 3), jnp.float32))["params"],
+            "text": self.text_encoder.init(rt, ids, jnp.zeros((1,), jnp.int32))["params"],
+        }
+
+    # ------------------------------------------------------------------
+    def _time_ids(self, n: int, h: int, w: int, aesthetic: float) -> jnp.ndarray:
+        ids = jnp.asarray([h, w, 0, 0, aesthetic], jnp.float32)
+        return jnp.broadcast_to(ids[None, : self.config.unet.num_time_ids], (n, self.config.unet.num_time_ids))
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
+    def _refine_jit(
+        self, params, images, ids, eos_pos, neg_ids, neg_eos, noise,
+        timesteps, sigmas, num_steps,
+    ):
+        cfg = self.config
+        n, h, w, _ = images.shape
+
+        # conditioning: positive + negative (CFG) through one batched encode
+        all_ids = jnp.concatenate([neg_ids, ids])
+        all_eos = jnp.concatenate([neg_eos, eos_pos])
+        ctx, pooled = self.text_encoder.apply({"params": params["text"]}, all_ids, all_eos)
+        tids = jnp.concatenate(
+            [
+                self._time_ids(n, h, w, cfg.negative_aesthetic_score),
+                self._time_ids(n, h, w, cfg.aesthetic_score),
+            ]
+        )
+
+        # VAE encode + noise to the start sigma
+        latents = self.vae.apply({"params": params["vae"]}, images * 2.0 - 1.0, method=AutoencoderKL.encode)
+        latents = add_noise(latents, noise, sigmas[0])
+
+        def body(lat, step):
+            t, sigma, sigma_next = step
+            inp = scale_model_input(lat, sigma)
+            inp2 = jnp.concatenate([inp, inp])
+            eps2 = self.unet.apply({"params": params["unet"]}, inp2, t, ctx, pooled, tids)
+            eps_neg, eps_pos = jnp.split(eps2, 2)
+            eps = eps_neg + cfg.guidance_scale * (eps_pos - eps_neg)
+            return euler_step(lat, eps, sigma, sigma_next), ()
+
+        steps = (timesteps[:num_steps], sigmas[:num_steps], sigmas[1 : num_steps + 1])
+        latents, _ = jax.lax.scan(body, latents, steps)
+
+        out = self.vae.apply({"params": params["vae"]}, latents, method=AutoencoderKL.decode)
+        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def refine_batch(
+        self,
+        images: jnp.ndarray,
+        captions: List[str],
+        negative_captions: Optional[List[str]] = None,
+        seed: int = 0,
+    ) -> jnp.ndarray:
+        """images: (N, H, W, 3) in [0, 1]; H, W divisible by the VAE factor.
+        Returns refined images, same shape/range."""
+        cfg = self.config
+        n, h, w, _ = images.shape
+        factor = 2 ** (len(cfg.vae.block_out_channels) - 1)
+        if h % factor or w % factor:
+            raise ValueError(f"image dims must be divisible by {factor}")
+        sched = img2img_slice(
+            euler_schedule(cfg.num_inference_steps), cfg.strength
+        )
+        ids, eos = hash_tokenize(list(captions), cfg.text)
+        neg = negative_captions or [""] * n
+        nids, neos = hash_tokenize(list(neg), cfg.text)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (n, h // factor, w // factor, cfg.unet.in_channels),
+            jnp.float32,
+        )
+        return self._refine_jit(
+            self.params, jnp.asarray(images, jnp.float32),
+            jnp.asarray(ids), jnp.asarray(eos), jnp.asarray(nids), jnp.asarray(neos),
+            noise, jnp.asarray(sched.timesteps), jnp.asarray(sched.sigmas),
+            len(sched.timesteps),
+        )
