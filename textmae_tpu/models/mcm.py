@@ -501,6 +501,7 @@ class MCM(nn.Module):
             "likelihoods": {"y": y_likelihood, "z": z_likelihood},
             "x_hat": unpatchify(preds, self.config.patch_size, self.config.in_chans),
             "aux_loss": self.entropy_bottleneck.aux_loss(),
+            "ids_restore": ids_restore,
         }
         if compute_loss:
             out["loss"] = self.forward_loss(imgs, preds, vgg_variables)
