@@ -67,3 +67,41 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     # single-process reduction order, so allow float-roundoff noise
     np.testing.assert_allclose(one["losses"], two[0]["losses"], rtol=1e-5)
     np.testing.assert_allclose(one["param_sum"], two[0]["param_sum"], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_gang_restart_checkpoint_resume(tmp_path):
+    """Full elastic-recovery drill (VERDICT r1 Next #5): 2 processes x 4
+    virtual devices train MCM over one global ("data", 8) mesh under
+    cli.launch; process 0 hard-exits after step 2 (simulated preemption),
+    the launcher relaunches the gang (--max-restarts 1), and the restarted
+    gang resumes from the checkpoint and finishes. Reference semantics:
+    submitit requeue + --resume (submitit_pretrain.py:61-71)."""
+    gang_worker = Path(__file__).parent / "mp_gang_worker.py"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "textmae_tpu.cli.launch",
+            "--nproc-per-node", "2", "--max-restarts", "1",
+            "--monitor-interval", "0.2",
+            "--", sys.executable, str(gang_worker), str(tmp_path),
+        ],
+        cwd=str(WORKER.parent.parent),
+        capture_output=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-3000:]
+    assert b"restarting gang" in proc.stderr
+
+    results = [
+        json.loads((tmp_path / f"gang_result_{p}.json").read_text())
+        for p in range(2)
+    ]
+    for res in results:
+        assert res["num_processes"] == 2 and res["global_devices"] == 8
+        # the surviving run RESUMED: it started from the step-2 checkpoint
+        assert res["start_step"] == 2
+        assert len(res["losses"]) == 2 and all(np.isfinite(v) for v in res["losses"])
+    # both processes computed identical global metrics and params
+    assert results[0]["losses"] == results[1]["losses"]
+    assert results[0]["param_sum"] == results[1]["param_sum"]
+    assert (tmp_path / "preempted.marker").exists()
