@@ -14,10 +14,21 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# the CPU AOT cache loader logs a scary-but-benign machine-feature warning on
+# every cache hit (same-host cache; the mismatch is XLA's prefer-no-scatter
+# pseudo-features, not real ISA features) — keep stderr readable
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: this box has ONE CPU, so the suite's wall time is
+# dominated by serial XLA compiles; warm runs skip them (VERDICT r1 Next #8)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TEXTMAE_TEST_CACHE", "/tmp/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
