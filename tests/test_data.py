@@ -203,3 +203,26 @@ def test_vendored_kodak_fixtures():
     ):
         found = paths.find_kodak()
     assert found is not None and "fixtures" in str(found)
+
+
+def test_score_producers_agree(tmp_path):
+    """Every score producer must emit bit-identical scores for one image.
+
+    Mixing grayscale loaders between training-time and eval-time score
+    generation shifts patch keep-sets and silently degrades trained
+    checkpoints (see score_maps.load_gray); this pins the contract across
+    the generate_scores CLI worker, the canonical loader, and the inline
+    bench/pipeline path.
+    """
+    from pathlib import Path
+
+    from textmae_tpu.cli.generate_scores import _score_one
+    from textmae_tpu.data.score_maps import load_gray
+
+    src = Path(__file__).parent / "fixtures" / "kodak_half" / "kodim23.png"
+    via_cli = _score_one(str(src))
+    via_loader = total_score_for_image(load_gray(src))
+    with Image.open(src) as im:
+        via_inline = total_score_for_image(np.asarray(im.convert("RGB").convert("L")))
+    np.testing.assert_array_equal(via_cli, via_loader)
+    np.testing.assert_array_equal(via_cli, via_inline)

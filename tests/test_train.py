@@ -248,3 +248,18 @@ def test_train_cli_has_vgg_weights_flag():
 
     args = build_parser().parse_args(["-d", "/tmp/ds", "--vgg-weights", "/tmp/x.pth"])
     assert args.vgg_weights == "/tmp/x.pth"
+
+
+def test_restore_params_any_npz(tmp_path):
+    """The CLIs accept both checkpoint formats; npz round-trips params."""
+    import jax
+
+    from textmae_tpu.train.checkpoint import restore_params_any, save_params_npz
+
+    params = {"a": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)},
+              "b": {"bias": np.ones(4, np.float32), "steps": np.int32(7)}}
+    path = save_params_npz(tmp_path / "p.npz", params, dtype=np.float32)
+    out = restore_params_any(path, params)
+    assert jax.tree_util.tree_structure(out) == jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(out["a"]["kernel"], params["a"]["kernel"])
+    assert out["b"]["steps"].dtype == np.int32

@@ -1,0 +1,159 @@
+"""BLIP-2 captioner assembled: vision -> Q-Former -> OPT, greedy decode.
+
+Native counterpart of the reference's HF wrapper
+(/root/reference/models/BLIP/__init__.py:5-19). The full caption path —
+vision tower, Q-Former distillation, language projection, OPT prefill and
+the token-by-token greedy loop (lax.scan over a KV cache) — compiles into
+two TPU programs (prefill + scan), with zero host sync until the final ids.
+
+Tokenization: a real HF tokenizer when $TEXTMAE_BLIP2_PATH provides one
+(transformers is installed); otherwise deterministic "tok{id}" placeholders
+so the architecture/throughput path runs in zero-egress builds.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from textmae_tpu.captioning.opt import OPTConfig, OPTDecoder
+from textmae_tpu.captioning.qformer import QFormer, QFormerConfig
+from textmae_tpu.captioning.vision import VisionConfig, VisionTower
+
+# CLIP pixel normalization (the blip2 image processor's constants)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Blip2Config:
+    vision: VisionConfig = VisionConfig()
+    qformer: QFormerConfig = QFormerConfig()
+    opt: OPTConfig = OPTConfig()
+    max_new_tokens: int = 20  # the reference wrapper's default
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "Blip2Config":
+        return cls(
+            vision=VisionConfig(
+                image_size=56, patch_size=14, hidden_size=32, layers=2,
+                heads=2, mlp_ratio=2.0, dtype=dtype,
+            ),
+            qformer=QFormerConfig(
+                num_queries=8, hidden_size=32, layers=2, heads=2,
+                intermediate_size=64, encoder_width=32, dtype=dtype,
+            ),
+            opt=OPTConfig(
+                vocab_size=256, hidden_size=32, layers=2, heads=2,
+                ffn_size=64, max_positions=64, dtype=dtype,
+            ),
+            max_new_tokens=6,
+        )
+
+
+class Blip2Captioner:
+    """Holds the three module trees + params; `generate_ids` is jitted."""
+
+    def __init__(self, config: Blip2Config, rng: Optional[jax.Array] = None):
+        self.config = config
+        self.vision = VisionTower(config.vision)
+        self.qformer = QFormer(config.qformer)
+        self.opt = OPTDecoder(config.opt)
+        self.tokenizer = None  # set by convert.load_blip2_weights when available
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        rv, rq, ro, rp = jax.random.split(rng, 4)
+        img = jnp.zeros(
+            (1, config.vision.image_size, config.vision.image_size, 3), jnp.float32
+        )
+        vtok = jnp.zeros((1, config.vision.num_positions, config.qformer.encoder_width))
+        self.params = {
+            "vision": self.vision.init(rv, img)["params"],
+            "qformer": self.qformer.init(rq, vtok)["params"],
+            "opt": self.opt.init(
+                ro, jnp.zeros((1, 4, config.opt.hidden_size)), method=OPTDecoder.prefill
+            )["params"],
+            # language_projection: qformer hidden -> OPT hidden
+            "proj": {
+                "kernel": jax.random.normal(
+                    rp, (config.qformer.hidden_size, config.opt.hidden_size)
+                ) * 0.02,
+                "bias": jnp.zeros((config.opt.hidden_size,)),
+            },
+        }
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _generate_jit(self, params, pixels, prompt_ids):
+        cfg = self.config
+        vtok = self.vision.apply({"params": params["vision"]}, pixels)
+        q = self.qformer.apply({"params": params["qformer"]}, vtok)
+        prefix = q @ params["proj"]["kernel"] + params["proj"]["bias"]
+
+        opt_p = {"params": params["opt"]}
+        prompt_emb = self.opt.apply(opt_p, prompt_ids, method=OPTDecoder.embed)
+        embeds = jnp.concatenate([prefix.astype(prompt_emb.dtype), prompt_emb], axis=1)
+        logits, caches = self.opt.apply(opt_p, embeds, method=OPTDecoder.prefill)
+        first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        start = embeds.shape[1]
+        eos = cfg.opt.eos_token_id
+        pad = cfg.opt.pad_token_id
+
+        def body(carry, i):
+            tok, caches, done = carry
+            logits, caches = self.opt.apply(
+                opt_p, tok, caches, start + i, method=OPTDecoder.decode_step
+            )
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            done = done | (tok == eos)
+            nxt = jnp.where(done, pad, nxt)
+            return (nxt, caches, done), nxt
+
+        done0 = first == eos
+        (_, _, _), rest = jax.lax.scan(
+            body, (first, caches, done0), jnp.arange(cfg.max_new_tokens - 1)
+        )
+        return jnp.concatenate([first[:, None], rest.T], axis=1)
+
+    # ------------------------------------------------------------------
+    def preprocess(self, images: np.ndarray) -> jnp.ndarray:
+        """(N, H, W, 3) uint8/float [0,1] -> CLIP-normalized model input.
+
+        Resizes to the vision tower's input size (bicubic, like the HF blip2
+        image processor) when the spatial dims differ.
+        """
+        x = np.asarray(images, np.float32)
+        if x.max() > 1.5:
+            x = x / 255.0
+        size = self.config.vision.image_size
+        if x.shape[1] != size or x.shape[2] != size:
+            import cv2
+
+            x = np.stack([
+                cv2.resize(im, (size, size), interpolation=cv2.INTER_CUBIC)
+                for im in x
+            ])
+            x = np.clip(x, 0.0, 1.0)
+        return jnp.asarray((x - CLIP_MEAN) / CLIP_STD)
+
+    def generate_ids(self, pixels: jnp.ndarray) -> np.ndarray:
+        n = pixels.shape[0]
+        prompt = jnp.full((n, 1), self.config.opt.bos_token_id, jnp.int32)
+        return np.asarray(self._generate_jit(self.params, pixels, prompt))
+
+    def decode(self, ids: np.ndarray) -> List[str]:
+        eos, pad = self.config.opt.eos_token_id, self.config.opt.pad_token_id
+        outs = []
+        for row in ids:
+            toks = [int(t) for t in row if int(t) not in (eos, pad)]
+            if self.tokenizer is not None:
+                outs.append(self.tokenizer.decode(toks).strip())
+            else:
+                outs.append(" ".join(f"tok{t}" for t in toks))
+        return outs
+
+    def caption(self, images: np.ndarray) -> List[str]:
+        return self.decode(self.generate_ids(self.preprocess(images)))

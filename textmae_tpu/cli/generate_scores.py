@@ -21,12 +21,11 @@ from textmae_tpu.data.score_maps import total_score_for_image
 
 
 def _score_one(path: str) -> np.ndarray:
-    import cv2
+    from textmae_tpu.data.score_maps import load_gray
 
-    gray = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if gray is None:
-        raise ValueError(f"unreadable image: {path}")
-    return total_score_for_image(gray)
+    # canonical loader — see load_gray's docstring for why this must match
+    # every other score producer bit-for-bit
+    return total_score_for_image(load_gray(path))
 
 
 def process_dataset(mode: str, dataset_path: Path, workers: int = 8) -> Path:

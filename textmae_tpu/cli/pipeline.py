@@ -24,10 +24,21 @@ def build_parser():
     p = argparse.ArgumentParser(description="TextMAE 3-stage pipeline (TPU)")
     p.add_argument("-i", "--image", required=True, help="input image path")
     p.add_argument("-o", "--output", default="pipeline_out", help="output dir")
-    p.add_argument("-p", "--checkpoint", default=None, help="MCM checkpoint")
+    p.add_argument("-p", "--checkpoint", default=None,
+                   help="MCM checkpoint (Orbax dir or params npz; default: the "
+                        "committed checkpoints/*.npz when present)")
+    p.add_argument("--normalize", action="store_true", default=None,
+                   help="ImageNet-normalize model inputs / de-normalize outputs "
+                        "(checkpoints trained with train --normalize need this; "
+                        "defaults to on when the committed checkpoint is used)")
+    p.add_argument("--random-init", action="store_true",
+                   help="skip checkpoint loading even if one is available")
     p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--num-keep-patches", type=int, default=144)
     p.add_argument("--no-caption", action="store_true")
+    p.add_argument("--caption-backend", choices=("native", "torch"), default="native",
+                   help="native = flax BLIP-2 jitted on TPU (textmae_tpu.captioning, "
+                        "weights from $TEXTMAE_BLIP2_PATH); torch = HF pipeline")
     p.add_argument("--no-refine", action="store_true")
     p.add_argument("--refine-backend", choices=("native", "torch"), default="native",
                    help="native = flax SDXL refiner jitted on TPU "
@@ -39,7 +50,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import cv2
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -55,7 +65,7 @@ def main(argv=None):
     with Image.open(args.image) as im:
         pil = im.convert("RGB")
         orig_size = pil.size
-    gray = cv2.imread(args.image, cv2.IMREAD_GRAYSCALE)
+    gray = np.asarray(pil.convert("L"))  # canonical loader (score_maps.load_gray)
     # score-map resolution must follow --input-size (the default 224 map
     # yields 196 scores, wrong for any other patch grid)
     score = total_score_for_image(gray, (args.input_size, args.input_size))
@@ -64,10 +74,16 @@ def main(argv=None):
     caption = None
     if not args.no_caption:
         try:
-            from textmae_tpu.models.blip import Blip2
+            if args.caption_backend == "native":
+                from textmae_tpu.captioning.convert import load_blip2_weights
 
-            blip = Blip2.prepare_model()
-            caption = blip.generate_caption(pil)
+                cap = load_blip2_weights()
+                caption = cap.caption(np.asarray(pil, np.uint8)[None])[0]
+            else:
+                from textmae_tpu.models.blip import Blip2
+
+                blip = Blip2.prepare_model()
+                caption = blip.generate_caption(pil)
             print(f"caption: {caption!r}")
         except Exception as e:
             print(f"[stage 1 skipped] {e}")
@@ -84,28 +100,54 @@ def main(argv=None):
     )
     scores = jnp.asarray(score[None])
 
-    rng = jax.random.PRNGKey(0)
-    variables = jax.jit(
-        lambda r: model.init(
-            {"params": r, "noise": r}, imgs, scores, training=False, compute_loss=False
-        )
-    )(rng)
-    if args.checkpoint:
-        from textmae_tpu.train import TrainState, configure_optimizers
-        from textmae_tpu.train.checkpoint import restore_checkpoint
+    ckpt = args.checkpoint
+    if ckpt is None and not args.random_init:
+        # prefer the committed trained weights (trained with --normalize)
+        default = Path(__file__).resolve().parents[2] / "checkpoints" / "mcm_kodak_l1_150k.f16.npz"
+        if default.is_file() and args.num_keep_patches == 144 and args.input_size == 224:
+            ckpt = str(default)
+            if args.normalize is None:
+                args.normalize = True
 
-        tx = configure_optimizers(variables["params"])
-        template = TrainState.create(variables["params"], tx)
-        state, _ = restore_checkpoint(args.checkpoint, state_template=template)
-        variables = {"params": state.params}
+    rng = jax.random.PRNGKey(0)
+    if ckpt and ckpt.endswith(".npz"):
+        from textmae_tpu.train.checkpoint import load_params_npz
+
+        variables = {"params": load_params_npz(ckpt)}
+    else:
+        variables = jax.jit(
+            lambda r: model.init(
+                {"params": r, "noise": r}, imgs, scores, training=False, compute_loss=False
+            )
+        )(rng)
+        if ckpt:
+            from textmae_tpu.train import TrainState, configure_optimizers
+            from textmae_tpu.train.checkpoint import restore_checkpoint
+
+            tx = configure_optimizers(variables["params"])
+            template = TrainState.create(variables["params"], tx)
+            state, _ = restore_checkpoint(ckpt, state_template=template)
+            variables = {"params": state.params}
+    if ckpt:
+        print(f"loaded MCM checkpoint {ckpt}")
+
+    imgs_model = imgs
+    if args.normalize:
+        from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+        imgs_model = (imgs - mean) / std
 
     codec = MCMCodec(model, variables)
     codec.update(force=True)
-    streams, ids_restore = codec.compress(imgs, scores)
+    streams, ids_restore = codec.compress(imgs_model, scores)
     payloads, ids = code_side_info(
         ids_restore, cfg.num_keep_patches, cfg.canonical_keep_order
     )
     x_hat = codec.decompress(streams, ids)
+    if args.normalize:
+        x_hat = jnp.clip(x_hat * std + mean, 0.0, 1.0)
     num_pixels = cfg.img_size * cfg.img_size
     bpp = (streams[0].num_bits() + len(payloads[0]) * 8) / num_pixels
     metrics = compute_metrics(imgs, x_hat)

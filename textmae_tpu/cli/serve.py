@@ -345,8 +345,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from textmae_tpu.models.mcm import MCM, MCMConfig
-    from textmae_tpu.train import TrainState, configure_optimizers
-    from textmae_tpu.train.checkpoint import restore_checkpoint
+    from textmae_tpu.train.checkpoint import restore_params_any
     from textmae_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -366,10 +365,7 @@ def main(argv=None):
         )
     )(rng)
     if args.path:
-        tx = configure_optimizers(variables["params"])
-        template = TrainState.create(variables["params"], tx)
-        state, _ = restore_checkpoint(args.path, state_template=template)
-        variables = {"params": state.params}
+        variables = {"params": restore_params_any(args.path, variables["params"])}
 
     service = CodecService(
         model, variables, max_batch=args.max_batch,

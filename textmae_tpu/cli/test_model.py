@@ -56,8 +56,7 @@ def main(argv=None):
     from textmae_tpu.eval import MCMCodec, eval_model
     from textmae_tpu.eval.harness import write_report
     from textmae_tpu.models.mcm import MCM, MCMConfig
-    from textmae_tpu.train import TrainState, configure_optimizers
-    from textmae_tpu.train.checkpoint import restore_checkpoint
+    from textmae_tpu.train.checkpoint import restore_params_any
 
     set_entropy_coder(args.entropy_coder)
     dataset = ImageScoreDataset(
@@ -83,12 +82,10 @@ def main(argv=None):
             )
         )(rng)
         if ckpt:
-            tx = configure_optimizers(variables["params"])
-            template = TrainState.create(variables["params"], tx)
-            state, _ = restore_checkpoint(ckpt, state_template=template)
+            params = restore_params_any(ckpt, variables["params"])
             # commit restored (host numpy) params to device once — otherwise
             # every jitted eval program re-uploads the full tree per call
-            variables = jax.device_put({"params": state.params})
+            variables = jax.device_put({"params": params})
             name = Path(ckpt).name
         else:
             name = "untrained"

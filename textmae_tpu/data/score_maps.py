@@ -101,6 +101,25 @@ def _resize(img: np.ndarray, new_shape: Tuple[int, int]) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize(new_shape, Image.BILINEAR))
 
 
+def load_gray(path) -> np.ndarray:
+    """Canonical grayscale load for score generation: PIL ``convert("L")``.
+
+    Every score producer (generate_scores CLI, bench.py, train_demo,
+    pipeline CLI) MUST go through this one function: the division-merge
+    segmentation is sensitive to +-1 grayscale rounding, so mixing loaders
+    shifts patch keep-sets between training-time and eval-time scores and
+    silently degrades trained checkpoints (observed: 37.7 -> 16.3 dB on the
+    committed 150k checkpoint when eval scores came from cv2's grayscale).
+    The reference uses cv2.imread(..., IMREAD_GRAYSCALE)
+    (generate_scores_file.py:43); we pin PIL's ITU-R 601-2 rounding instead —
+    either convention works, but only one may exist.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB").convert("L"))
+
+
 def patch_scores(img: np.ndarray, crop_sz: int = 16, step: int = 16) -> np.ndarray:
     """Integer mean of each crop_sz x crop_sz window (utils/distribution.py:5-16).
 

@@ -112,6 +112,23 @@ def load_params_npz(path: os.PathLike, dtype=np.float32) -> Dict:
     return tu.unflatten_dict(flat, sep="/")
 
 
+def restore_params_any(path: os.PathLike, params_template: Dict) -> Dict:
+    """Params from either format a CLI may be handed: a flat ``.npz``
+    distribution file (save_params_npz) or an Orbax train-state checkpoint
+    directory (save_checkpoint). One call site for serve/test_model/pipeline.
+    """
+    path = Path(path)
+    if path.suffix == ".npz":
+        return load_params_npz(path)
+    from textmae_tpu.train.optim import configure_optimizers
+    from textmae_tpu.train.state import TrainState
+
+    tx = configure_optimizers(params_template)
+    template = TrainState.create(params_template, tx)
+    state, _ = restore_checkpoint(path, state_template=template)
+    return state.params
+
+
 class BestTracker:
     """Best-by-val-loss selection + copy (training.py:188-198 semantics)."""
 
