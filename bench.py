@@ -182,6 +182,31 @@ def main():
     # on identical code) would otherwise dominate a single measurement
     img_per_s = max(measure_window() for _ in range(windows))
 
+    # ---- stage 1 (caption) throughput: native flax BLIP-2 (vision ->
+    # Q-Former -> OPT greedy scan, two jitted programs). Real blip2-opt-2.7b
+    # weights are not downloadable here, so reduced dims + random weights;
+    # fields are labelled accordingly. BENCH_CAPTION=0 skips.
+    caption_fields = {}
+    caption_rate = None
+    if os.environ.get("BENCH_CAPTION", "1") != "0":
+        try:
+            from textmae_tpu.captioning import Blip2Captioner, Blip2Config
+
+            captioner = Blip2Captioner(Blip2Config.tiny(dtype=jnp.bfloat16))
+            cpix = captioner.preprocess(imgs_np)
+            captioner.generate_ids(cpix)  # compile
+            t0 = time.time()
+            caption_reps = max(reps // 2, 1)
+            for _ in range(caption_reps):
+                ids = captioner.generate_ids(cpix)
+            caption_rate = n * caption_reps / (time.time() - t0)
+            caption_fields = {
+                "caption_img_per_s": round(caption_rate, 3),
+                "caption_note": "native flax BLIP-2, reduced dims, random weights",
+            }
+        except Exception as e:
+            caption_fields = {"caption_note": f"skipped: {e}"}
+
     # ---- stage 3 (refine) throughput: the north-star metric names
     # compress+decompress+REFINE (BASELINE.json). Real SDXL weights are not
     # downloadable here, so the refiner runs the full native code path
@@ -202,10 +227,13 @@ def main():
                 refined = refiner.refine_batch(pix, caps)
             jax.block_until_ready(refined)
             refine_rate = n * refine_reps / (time.time() - t0)
-            combined = 1.0 / (1.0 / img_per_s + 1.0 / refine_rate)
+            # serial-stage pipeline rate: caption + codec + refine
+            inv = 1.0 / img_per_s + 1.0 / refine_rate
+            if caption_rate:
+                inv += 1.0 / caption_rate
             refine_fields = {
                 "refine_img_per_s": round(refine_rate, 3),
-                "pipeline_img_per_s": round(combined, 3),
+                "pipeline_img_per_s": round(1.0 / inv, 3),
                 "refine_note": "native flax refiner, reduced dims, random weights",
             }
         except Exception as e:  # never let stage 3 sink the headline bench
@@ -225,6 +253,7 @@ def main():
                 "setup_s": round(setup_s, 1),
                 "enc_s_per_rep": round(phase_acc["enc"] / max(reps * windows, 1), 3),
                 "dec_s_per_rep": round(phase_acc["dec"] / max(reps * windows, 1), 3),
+                **caption_fields,
                 **refine_fields,
                 "untrained": untrained,
                 "note": (

@@ -127,3 +127,26 @@ def test_eos_padding():
             assert int(t) == pad
         if int(t) == eos:
             seen_eos = True
+
+
+def test_opt_tp_generate_matches_replicated():
+    """Caption ids under model-axis TP must equal the unsharded ids.
+
+    Megatron-style shardings (captioning/sharding.py) on the OPT half over a
+    2-way "model" axis; XLA inserts the collectives. Greedy decode is
+    argmax-exact, so the ids must match bit-for-bit.
+    """
+    from textmae_tpu.captioning.sharding import shard_captioner_params
+    from textmae_tpu.parallel import make_mesh
+
+    cap = Blip2Captioner(Blip2Config.tiny())
+    imgs = np.random.default_rng(3).uniform(size=(4, 56, 56, 3)).astype(np.float32)
+    pixels = cap.preprocess(imgs)
+    base = cap.generate_ids(pixels)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    cap.params = shard_captioner_params(cap.params, mesh)
+    qkv = cap.params["opt"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    assert len(qkv.sharding.device_set) >= 2  # actually distributed
+    tp = cap.generate_ids(pixels)
+    np.testing.assert_array_equal(base, tp)

@@ -263,3 +263,37 @@ def test_restore_params_any_npz(tmp_path):
     assert jax.tree_util.tree_structure(out) == jax.tree_util.tree_structure(params)
     np.testing.assert_allclose(out["a"]["kernel"], params["a"]["kernel"])
     assert out["b"]["steps"].dtype == np.int32
+
+
+def test_train_cli_e2e_tensor_parallel(tmp_path, capsys):
+    """Full train CLI, one epoch, dp4 x tp2 over the virtual 8-device mesh.
+
+    End-to-end: dataset dir -> score files -> jitted TP train step ->
+    validation -> best checkpoint on disk. Covers the --tensor-parallel
+    wiring (mesh build, shard_params before optimizer init) that unit TP
+    tests (test_tp.py) exercise only at the library layer.
+    """
+    from PIL import Image
+
+    from textmae_tpu.cli.generate_scores import process_dataset
+    from textmae_tpu.cli.train import main
+
+    root = tmp_path / "ds"
+    r = np.random.default_rng(0)
+    for split, n in (("train", 4), ("val", 2)):
+        d = root / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (r.random((256, 256, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+    process_dataset("train", root, workers=1)
+    process_dataset("val", root, workers=1)
+
+    out = tmp_path / "out"
+    main([
+        "-d", str(root), "-e", "1", "--batch-size", "4", "--val-batch-size", "2",
+        "--debug-tiny", "--no-vgg", "--tensor-parallel", "2",
+        "--output-dir", str(out), "--num-workers", "2", "--print-freq", "1",
+    ])
+    assert "mesh data4 x model2" in capsys.readouterr().out
+    assert list(out.glob("checkpoint*")), "no checkpoint written"

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 transformer compute")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--save-every", type=int, default=1)
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="shard every ViT block's qkv/proj/fc1/fc2 over a "
+                        "'model' mesh axis of this size (Megatron-style TP, "
+                        "parallel.sharding_rules); remaining devices form the "
+                        "data axis. 1 = pure DP (reference semantics)")
+    p.add_argument("--debug-tiny", action="store_true",
+                   help="tiny model dims + 96px inputs (CI/e2e smoke only)")
     return p
 
 
@@ -90,11 +97,22 @@ def main(argv=None):
     train_ds = ImageScoreDataset(args.dataset, "train", img_size=args.input_size)
     val_ds = ImageScoreDataset(args.dataset, "val", img_size=args.input_size)
 
-    cfg = MCMConfig(
-        img_size=args.input_size,
-        num_keep_patches=args.num_keep_patches,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
+    if args.debug_tiny:
+        cfg = MCMConfig(
+            img_size=args.input_size,
+            num_keep_patches=args.num_keep_patches,
+            encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=2,
+            decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+            latent_depth=24, hyperprior_depth=16, num_slices=4,
+            use_pallas=False,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+    else:
+        cfg = MCMConfig(
+            img_size=args.input_size,
+            num_keep_patches=args.num_keep_patches,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
     model = MCM(cfg)
     rng = jax.random.PRNGKey(seed)
     sample_imgs = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
@@ -110,6 +128,23 @@ def main(argv=None):
     if args.mae_checkpoint:
         params = load_mae_pretrained(params, args.mae_checkpoint)
         print(f"loaded MAE checkpoint {args.mae_checkpoint}")
+
+    # mesh before optimizer init: with --tensor-parallel, params must land
+    # sharded so tx.init's moments inherit the same layout
+    tp = args.tensor_parallel
+    if tp > 1:
+        ndev = len(jax.devices())
+        if ndev % tp:
+            raise SystemExit(
+                f"--tensor-parallel {tp} does not divide {ndev} devices"
+            )
+        mesh = make_mesh({"data": ndev // tp, "model": tp})
+        from textmae_tpu.parallel import shard_params
+
+        params = shard_params(params, mesh)
+        print(f"mesh data{ndev // tp} x model{tp} (TP over ViT blocks)")
+    else:
+        mesh = make_mesh()
 
     vgg_variables = None
     if not args.no_vgg:
@@ -141,8 +176,12 @@ def main(argv=None):
         start_epoch = int(meta.get("epoch", -1)) + 1
         resumed_val_loss = float(meta.get("val_loss", float("inf")))
         print(f"resumed from {resume_path} at epoch {start_epoch}")
+        if tp > 1:
+            # restore yields host arrays; re-pin the TP layout
+            from textmae_tpu.parallel import shard_params
 
-    mesh = make_mesh()
+            state = state.replace(params=shard_params(state.params, mesh))
+
     train_step = make_train_step(model, tx, lmbda=args.lmbda, vgg_variables=vgg_variables)
     eval_step = make_eval_step(model, lmbda=args.lmbda, vgg_variables=vgg_variables)
 
