@@ -50,9 +50,9 @@ def codec():
     key = jax.random.PRNGKey(0)
     imgs = jnp.zeros((1, 3, 96, 96), jnp.float32)
     scores = jnp.zeros((1, TINY.num_patches), jnp.float32)
-    variables = model.init(
-        {"params": key, "noise": key}, imgs, scores, training=False, compute_loss=False
-    )
+    variables = jax.jit(lambda r, x, s: model.init(
+        {"params": r, "noise": r}, x, s, training=False, compute_loss=False
+    ))(key, imgs, scores)
     c = MCMCodec(model, variables)
     c.update()
     return c

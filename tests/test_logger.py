@@ -70,4 +70,14 @@ def test_profile_trace_noop():
 
 
 def test_enable_compile_cache(tmp_path):
-    enable_compile_cache(str(tmp_path))  # must not raise
+    """Must accept an explicit dir — and the test must restore the suite's
+    cache dir: leaving it pointed at this tmp_path silently cold-compiles
+    every later test module (measured: +6x on train/tp/parity tests)."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compile_cache(str(tmp_path))  # must not raise
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

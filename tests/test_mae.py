@@ -39,7 +39,9 @@ def mae_setup():
     model = MaskedAutoencoderViT(TINY_MAE)
     rng = jax.random.PRNGKey(0)
     imgs = jnp.asarray(np.random.default_rng(0).random((2, 3, 64, 64), np.float32))
-    variables = model.init({"params": rng, "mask": rng}, imgs, 0.75)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "mask": r}, x, 0.75)
+    )(rng, imgs)
     return model, variables["params"], imgs
 
 
@@ -100,7 +102,7 @@ def vit_setup():
     model = VisionTransformer(TINY_VIT)
     rng = jax.random.PRNGKey(0)
     imgs = jnp.asarray(np.random.default_rng(0).random((4, 3, 64, 64), np.float32))
-    params = model.init(rng, imgs)["params"]
+    params = jax.jit(lambda r, x: model.init(r, x))(rng, imgs)["params"]
     labels = jnp.asarray(np.array([0, 1, 2, 3], np.int32))
     return model, params, imgs, labels
 

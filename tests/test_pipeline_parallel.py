@@ -141,7 +141,9 @@ def test_pipelined_mae_pretrain_step_matches_sequential():
     model = MaskedAutoencoderViT(cfg)
     rng = jax.random.PRNGKey(0)
     imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
-    variables = model.init({"params": rng, "mask": rng}, imgs, 0.75)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "mask": r}, x, 0.75)
+    )(rng, imgs)
     tx = optax.adam(1e-3)
 
     mesh = make_mesh({"pipe": 2}, devices=jax.devices()[:2])
@@ -196,7 +198,9 @@ def test_dp_x_pp_pretrain_step_matches_sequential():
     model = MaskedAutoencoderViT(cfg)
     rng = jax.random.PRNGKey(0)
     imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
-    variables = model.init({"params": rng, "mask": rng}, imgs, 0.75)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "mask": r}, x, 0.75)
+    )(rng, imgs)
     tx = optax.adam(1e-3)
     mesh = make_mesh({"data": 2, "pipe": 2}, devices=jax.devices()[:4])
 

@@ -66,9 +66,9 @@ def _init_pair(cfg, seed=0):
     scores = jnp.asarray(
         np.random.default_rng(seed).random((1, cfg.num_patches), np.float32)
     )
-    variables = model.init(
-        {"params": rng, "noise": rng}, imgs, scores, training=False, compute_loss=False
-    )
+    variables = jax.jit(lambda r, x, s: model.init(
+        {"params": r, "noise": r}, x, s, training=False, compute_loss=False
+    ))(rng, imgs, scores)
     params = variables["params"]
     sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
           mcm_flax_to_torch(params, cfg).items()}

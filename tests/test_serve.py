@@ -38,9 +38,9 @@ def setup():
     r = np.random.default_rng(0)
     imgs = jnp.asarray(r.random((2, 3, 96, 96), np.float32))
     scores = jnp.asarray(r.random((2, TINY.num_patches), np.float32))
-    variables = model.init(
-        {"params": rng, "noise": rng}, imgs, scores, training=False, compute_loss=False
-    )
+    variables = jax.jit(lambda r, x, s: model.init(
+        {"params": r, "noise": r}, x, s, training=False, compute_loss=False
+    ))(rng, imgs, scores)
     return model, variables, imgs, scores
 
 

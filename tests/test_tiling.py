@@ -37,9 +37,9 @@ def test_inference_tiled(rng):
     key = jax.random.PRNGKey(0)
     imgs = jnp.asarray(rng.random((1, 3, 96, 96), np.float32))
     scores = jnp.asarray(rng.random((1, TINY.num_patches), np.float32))
-    variables = model.init(
-        {"params": key, "noise": key}, imgs, scores, training=False, compute_loss=False
-    )
+    variables = jax.jit(lambda r, x, s: model.init(
+        {"params": r, "noise": r}, x, s, training=False, compute_loss=False
+    ))(key, imgs, scores)
     codec = MCMCodec(model, variables)
     codec.update()
     img = rng.random((150, 200, 3)).astype(np.float32)

@@ -39,9 +39,9 @@ def tiny_setup():
     rng = jax.random.PRNGKey(0)
     imgs = jnp.asarray(np.random.default_rng(0).random((2, 3, 96, 96), np.float32))
     scores = jnp.asarray(np.random.default_rng(1).random((2, TINY.num_patches), np.float32))
-    variables = model.init(
-        {"params": rng, "noise": rng}, imgs, scores, training=False, compute_loss=True
-    )
+    variables = jax.jit(lambda r, x, s: model.init(
+        {"params": r, "noise": r}, x, s, training=False, compute_loss=True
+    ))(rng, imgs, scores)
     return model, variables["params"], imgs, scores
 
 

@@ -71,11 +71,15 @@ class Blip2Captioner:
         )
         vtok = jnp.zeros((1, config.vision.num_positions, config.qformer.encoder_width))
         self.params = {
-            "vision": self.vision.init(rv, img)["params"],
-            "qformer": self.qformer.init(rq, vtok)["params"],
-            "opt": self.opt.init(
-                ro, jnp.zeros((1, 4, config.opt.hidden_size)), method=OPTDecoder.prefill
-            )["params"],
+            # jitted init: one fused program per submodule instead of eager
+            # op-by-op initializer dispatch
+            "vision": jax.jit(lambda r, x: self.vision.init(r, x)["params"])(rv, img),
+            "qformer": jax.jit(lambda r, v: self.qformer.init(r, v)["params"])(
+                rq, vtok
+            ),
+            "opt": jax.jit(
+                lambda r, h: self.opt.init(r, h, method=OPTDecoder.prefill)["params"]
+            )(ro, jnp.zeros((1, 4, config.opt.hidden_size))),
             # language_projection: qformer hidden -> OPT hidden
             "proj": {
                 "kernel": jax.random.normal(

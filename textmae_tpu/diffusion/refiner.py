@@ -95,10 +95,20 @@ class SDXLRefiner:
         pooled = jnp.zeros((1, cfg.unet.pooled_projection_dim), jnp.float32)
         tids = jnp.zeros((1, cfg.unet.num_time_ids), jnp.float32)
         ids = jnp.zeros((1, cfg.text.max_length), jnp.int32)
+        # one jitted program per submodule: eager flax init dispatches every
+        # initializer op separately (seconds of pure overhead per model)
         return {
-            "unet": self.unet.init(ru, sample, jnp.float32(1.0), ctx, pooled, tids)["params"],
-            "vae": self.vae.init(rv, jnp.zeros((1, img, img, 3), jnp.float32))["params"],
-            "text": self.text_encoder.init(rt, ids, jnp.zeros((1,), jnp.int32))["params"],
+            "unet": jax.jit(
+                lambda r, s, c, p, t: self.unet.init(
+                    r, s, jnp.float32(1.0), c, p, t
+                )["params"]
+            )(ru, sample, ctx, pooled, tids),
+            "vae": jax.jit(lambda r, x: self.vae.init(r, x)["params"])(
+                rv, jnp.zeros((1, img, img, 3), jnp.float32)
+            ),
+            "text": jax.jit(lambda r, i, e: self.text_encoder.init(r, i, e)["params"])(
+                rt, ids, jnp.zeros((1,), jnp.int32)
+            ),
         }
 
     # ------------------------------------------------------------------

@@ -20,8 +20,15 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
 
     import jax
 
-    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     try:
+        if cache_dir is None and jax.config.jax_compilation_cache_dir:
+            # already configured (e.g. the test conftest's cache) — switching
+            # dirs mid-process would strand every later compile in a cold
+            # cache, so keep the existing one
+            return
+        cache_dir = cache_dir or os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"
+        )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
