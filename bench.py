@@ -227,14 +227,37 @@ def main():
                 refined = refiner.refine_batch(pix, caps)
             jax.block_until_ready(refined)
             refine_rate = n * refine_reps / (time.time() - t0)
-            # serial-stage pipeline rate: caption + codec + refine
-            inv = 1.0 / img_per_s + 1.0 / refine_rate
-            if caption_rate:
-                inv += 1.0 / caption_rate
+
+            # measured 3-stage pipeline: caption -> codec -> refine per rep,
+            # reps overlapped in threads so stage k's refine (device-bound)
+            # fills the host-sync gaps of stage k+1's codec decode; the
+            # decoded batch is handed to the refiner ON DEVICE (NCHW->NHWC
+            # via jnp), so nothing but bitstreams crosses the tunnel
+            caps24 = ["kodak photograph"] * n
+
+            def full_rep():
+                if caption_rate:
+                    captioner.generate_ids(cpix)
+                x_hat_r, _ = round_trip()
+                pix_r = jnp.transpose(to_pixels(x_hat_r), (0, 2, 3, 1))
+                jax.block_until_ready(refiner.refine_batch(pix_r, caps24))
+
+            full_rep()  # compile the device-side handoff at this shape
+            t0 = time.time()
+            if pipeline > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(pipeline) as pool:
+                    list(pool.map(lambda _: full_rep(), range(reps)))
+            else:
+                for _ in range(reps):
+                    full_rep()
+            pipeline_rate = n * reps / (time.time() - t0)
             refine_fields = {
                 "refine_img_per_s": round(refine_rate, 3),
-                "pipeline_img_per_s": round(1.0 / inv, 3),
+                "pipeline_img_per_s": round(pipeline_rate, 3),
                 "refine_note": "native flax refiner, reduced dims, random weights",
+                "pipeline_note": "measured caption+codec+refine, reps overlapped",
             }
         except Exception as e:  # never let stage 3 sink the headline bench
             refine_fields = {"refine_note": f"skipped: {e}"}
