@@ -85,7 +85,9 @@ def test_unet_forward_shapes_jit():
     ctx = jnp.zeros((2, 7, cfg.cross_attention_dim))
     pooled = jnp.zeros((2, cfg.pooled_projection_dim))
     tids = jnp.zeros((2, cfg.num_time_ids))
-    params = unet.init(rng, sample, jnp.float32(1.0), ctx, pooled, tids)["params"]
+    params = jax.jit(
+        lambda r, s, c, po, ti: unet.init(r, s, jnp.float32(1.0), c, po, ti)["params"]
+    )(rng, sample, ctx, pooled, tids)
     out = jax.jit(
         lambda p, s, t: unet.apply({"params": p}, s, t, ctx, pooled, tids)
     )(params, sample, jnp.float32(999.0))
@@ -101,9 +103,14 @@ def test_unet_timestep_conditioning_matters():
     ctx = jnp.asarray(r.standard_normal((1, 7, cfg.cross_attention_dim)), jnp.float32)
     pooled = jnp.asarray(r.standard_normal((1, cfg.pooled_projection_dim)), jnp.float32)
     tids = jnp.ones((1, cfg.num_time_ids))
-    params = unet.init(rng, sample, jnp.float32(1.0), ctx, pooled, tids)["params"]
-    a = unet.apply({"params": params}, sample, jnp.float32(1.0), ctx, pooled, tids)
-    b = unet.apply({"params": params}, sample, jnp.float32(901.0), ctx, pooled, tids)
+    params = jax.jit(
+        lambda r, s, c, po, ti: unet.init(r, s, jnp.float32(1.0), c, po, ti)["params"]
+    )(rng, sample, ctx, pooled, tids)
+    apply = jax.jit(
+        lambda p, s, t: unet.apply({"params": p}, s, t, ctx, pooled, tids)
+    )
+    a = apply(params, sample, jnp.float32(1.0))
+    b = apply(params, sample, jnp.float32(901.0))
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
 
 
@@ -111,7 +118,7 @@ def test_vae_roundtrip_shapes():
     vae = AutoencoderKL(TINY.vae)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, 16, 16, 3))
-    params = vae.init(rng, x)["params"]
+    params = jax.jit(lambda r, xx: vae.init(r, xx)["params"])(rng, x)
     lat = vae.apply({"params": params}, x, method=AutoencoderKL.encode)
     factor = 2 ** (len(TINY.vae.block_out_channels) - 1)
     assert lat.shape == (1, 16 // factor, 16 // factor, TINY.vae.latent_channels)
@@ -125,7 +132,9 @@ def test_text_encoder_pooling():
     ids, eos = hash_tokenize(["a photo of a cat", ""], cfg)
     assert ids.shape == (2, cfg.max_length)
     assert eos[0] == 6 and eos[1] == 1  # BOS + 5 words -> EOS at 6
-    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(eos))["params"]
+    params = jax.jit(lambda r, i, e: enc.init(r, i, e)["params"])(
+        jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(eos)
+    )
     hidden, pooled = enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(eos))
     assert hidden.shape == (2, cfg.max_length, cfg.width)
     assert pooled.shape == (2, cfg.projection_dim)
@@ -197,10 +206,12 @@ def test_unet_importer_covers_all_params():
     unet = UNet2DCondition(cfg)
     sample = jnp.zeros((1, 8, 8, 4))
     ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
-    params = unet.init(
-        jax.random.PRNGKey(0), sample, jnp.float32(1.0), ctx,
-        jnp.zeros((1, cfg.pooled_projection_dim)), jnp.zeros((1, cfg.num_time_ids)),
-    )["params"]
+    params = jax.jit(
+        lambda r, s, c: unet.init(
+            r, s, jnp.float32(1.0), c,
+            jnp.zeros((1, cfg.pooled_projection_dim)), jnp.zeros((1, cfg.num_time_ids)),
+        )["params"]
+    )(jax.random.PRNGKey(0), sample, ctx)
     key_map = unet_key_map(params)
     keys = [k for k, _ in key_map.values()]
     assert len(set(keys)) == len(keys)  # no two leaves share a source tensor
@@ -215,7 +226,9 @@ def test_vae_importer_covers_all_params():
     from textmae_tpu.diffusion.convert import sdxl_vae_torch_to_flax, vae_key_map
 
     vae = AutoencoderKL(TINY.vae)
-    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    params = jax.jit(
+        lambda r: vae.init(r, jnp.zeros((1, 16, 16, 3)))["params"]
+    )(jax.random.PRNGKey(0))
     key_map = vae_key_map(params)
     keys = [k for k, _ in key_map.values()]
     assert len(set(keys)) == len(keys)
@@ -232,7 +245,9 @@ def test_clip_importer_roundtrip():
     cfg = TINY.text
     enc = CLIPTextEncoder(cfg)
     ids, eos = hash_tokenize(["test"], cfg)
-    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(eos))["params"]
+    params = jax.jit(lambda r, i, e: enc.init(r, i, e)["params"])(
+        jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(eos)
+    )
     rng = np.random.default_rng(2)
     w = cfg.width
     sd = {

@@ -57,8 +57,10 @@ def test_pipeline_gradients_match_sequential(setup):
             h = block.apply({"params": p[f"blocks_{i}"]}, h)
         return h.sum()
 
-    g_pp = jax.grad(loss_pp)(params)
-    g_seq = jax.grad(loss_seq)(params)
+    # jit the grads: eager jax.grad re-traces and runs the backward op-by-op
+    # (~11 s per call here); one cached compile is ~instant on warm runs
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
     scale = max(
         jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).max()), g_seq))
     )
