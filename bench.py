@@ -253,11 +253,12 @@ def main():
                 for _ in range(reps):
                     full_rep()
             pipeline_rate = n * reps / (time.time() - t0)
+            stages = ("caption+codec+refine" if caption_rate else "codec+refine")
             refine_fields = {
                 "refine_img_per_s": round(refine_rate, 3),
                 "pipeline_img_per_s": round(pipeline_rate, 3),
                 "refine_note": "native flax refiner, reduced dims, random weights",
-                "pipeline_note": "measured caption+codec+refine, reps overlapped",
+                "pipeline_note": f"measured {stages}, reps overlapped",
             }
         except Exception as e:  # never let stage 3 sink the headline bench
             refine_fields = {"refine_note": f"skipped: {e}"}

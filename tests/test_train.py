@@ -290,10 +290,17 @@ def test_train_cli_e2e_tensor_parallel(tmp_path, capsys):
     process_dataset("val", root, workers=1)
 
     out = tmp_path / "out"
-    main([
-        "-d", str(root), "-e", "1", "--batch-size", "4", "--val-batch-size", "2",
+    common = [
+        "-d", str(root), "--batch-size", "4", "--val-batch-size", "2",
         "--debug-tiny", "--no-vgg", "--tensor-parallel", "2",
         "--output-dir", str(out), "--num-workers", "2", "--print-freq", "1",
-    ])
+    ]
+    main(["-e", "1", *common])
     assert "mesh data4 x model2" in capsys.readouterr().out
     assert list(out.glob("checkpoint*")), "no checkpoint written"
+
+    # resume under TP: params AND the restored Adam moments must re-land
+    # sharded (the opt_state re-pinning device_puts onto a tx.init template
+    # and throws on any tree/sharding mismatch)
+    main(["-e", "2", "--auto-resume", *common])
+    assert "resumed from" in capsys.readouterr().out

@@ -13,7 +13,6 @@ so the architecture/throughput path runs in zero-egress builds.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, List, Optional
 
 import jax
@@ -64,6 +63,7 @@ class Blip2Captioner:
         self.qformer = QFormer(config.qformer)
         self.opt = OPTDecoder(config.opt)
         self.tokenizer = None  # set by convert.load_blip2_weights when available
+        self._generate_fn = None  # per-instance jit, built on first generate
         rng = jax.random.PRNGKey(0) if rng is None else rng
         rv, rq, ro, rp = jax.random.split(rng, 4)
         img = jnp.zeros(
@@ -90,8 +90,7 @@ class Blip2Captioner:
         }
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _generate_jit(self, params, pixels, prompt_ids):
+    def _generate_impl(self, params, pixels, prompt_ids):
         cfg = self.config
         vtok = self.vision.apply({"params": params["vision"]}, pixels)
         q = self.qformer.apply({"params": params["qformer"]}, vtok)
@@ -134,19 +133,32 @@ class Blip2Captioner:
             x = x / 255.0
         size = self.config.vision.image_size
         if x.shape[1] != size or x.shape[2] != size:
-            import cv2
+            # PIL bicubic over uint8, exactly the HF blip2 image processor's
+            # resample path — cv2's INTER_CUBIC uses different filter weights
+            # and would drift pixel values (the load_gray lesson: loader
+            # mismatches silently break parity with converted weights)
+            from PIL import Image
 
             x = np.stack([
-                cv2.resize(im, (size, size), interpolation=cv2.INTER_CUBIC)
+                np.asarray(
+                    Image.fromarray(
+                        (np.clip(im, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                    ).resize((size, size), Image.BICUBIC),
+                    np.float32,
+                )
                 for im in x
-            ])
-            x = np.clip(x, 0.0, 1.0)
+            ]) / 255.0
         return jnp.asarray((x - CLIP_MEAN) / CLIP_STD)
 
     def generate_ids(self, pixels: jnp.ndarray) -> np.ndarray:
+        if self._generate_fn is None:
+            # per-instance jit: a class-level jit with static `self` would pin
+            # every instance (and its full param tree) in the global jit cache
+            # forever and retrace per instance
+            self._generate_fn = jax.jit(self._generate_impl)
         n = pixels.shape[0]
         prompt = jnp.full((n, 1), self.config.opt.bos_token_id, jnp.int32)
-        return np.asarray(self._generate_jit(self.params, pixels, prompt))
+        return np.asarray(self._generate_fn(self.params, pixels, prompt))
 
     def decode(self, ids: np.ndarray) -> List[str]:
         eos, pad = self.config.opt.eos_token_id, self.config.opt.pad_token_id

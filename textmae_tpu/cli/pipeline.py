@@ -55,7 +55,7 @@ def main(argv=None):
     from PIL import Image
 
     from textmae_tpu.eval.harness import code_side_info
-    from textmae_tpu.data.score_maps import total_score_for_image
+    from textmae_tpu.data.score_maps import load_gray, total_score_for_image
     from textmae_tpu.eval import MCMCodec, compute_metrics
     from textmae_tpu.models.mcm import MCM, MCMConfig
 
@@ -65,7 +65,7 @@ def main(argv=None):
     with Image.open(args.image) as im:
         pil = im.convert("RGB")
         orig_size = pil.size
-    gray = np.asarray(pil.convert("L"))  # canonical loader (score_maps.load_gray)
+    gray = load_gray(args.image)  # the one canonical grayscale path
     # score-map resolution must follow --input-size (the default 224 map
     # yields 196 scores, wrong for any other patch grid)
     score = total_score_for_image(gray, (args.input_size, args.input_size))
@@ -100,7 +100,8 @@ def main(argv=None):
     )
     scores = jnp.asarray(score[None])
 
-    ckpt = args.checkpoint
+    # --random-init overrides ANY checkpoint, including an explicit -p
+    ckpt = None if args.random_init else args.checkpoint
     if ckpt is None and not args.random_init:
         # prefer the committed trained weights (trained with --normalize)
         default = Path(__file__).resolve().parents[2] / "checkpoints" / "mcm_kodak_l1_150k.f16.npz"

@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallel.sharding_rules); remaining devices form the "
                         "data axis. 1 = pure DP (reference semantics)")
     p.add_argument("--debug-tiny", action="store_true",
-                   help="tiny model dims + 96px inputs (CI/e2e smoke only)")
+                   help="tiny model dims at the usual --input-size "
+                        "(CI/e2e smoke only)")
     return p
 
 
@@ -177,10 +178,27 @@ def main(argv=None):
         resumed_val_loss = float(meta.get("val_loss", float("inf")))
         print(f"resumed from {resume_path} at epoch {start_epoch}")
         if tp > 1:
-            # restore yields host arrays; re-pin the TP layout
+            # restore yields host arrays; re-pin the TP layout on the params
+            # AND the optimizer moments (two param-tree-sized Adam moments —
+            # left replicated they cost 2x full model size per device and
+            # defeat the sharding established before tx.init above)
             from textmae_tpu.parallel import shard_params
 
-            state = state.replace(params=shard_params(state.params, mesh))
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharded = shard_params(state.params, mesh)
+            template = tx.init(sharded)
+
+            def _pin(restored, t):
+                sh = getattr(t, "sharding", None)
+                if not isinstance(sh, NamedSharding) or sh.mesh != mesh:
+                    # scalar leaves (Adam counts) come off tx.init on a single
+                    # device; replicate them over the mesh instead
+                    sh = NamedSharding(mesh, PartitionSpec())
+                return jax.device_put(restored, sh)
+
+            opt_state = jax.tree.map(_pin, state.opt_state, template)
+            state = state.replace(params=sharded, opt_state=opt_state)
 
     train_step = make_train_step(model, tx, lmbda=args.lmbda, vgg_variables=vgg_variables)
     eval_step = make_eval_step(model, lmbda=args.lmbda, vgg_variables=vgg_variables)

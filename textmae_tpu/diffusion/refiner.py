@@ -15,7 +15,6 @@ diffusers SDXL-refiner snapshot from $TEXTMAE_SDXL_PATH.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, List, Optional
 
 import jax
@@ -85,6 +84,10 @@ class SDXLRefiner:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         ru, rv, rt = jax.random.split(rng, 3)
         self.params = self._init_params(ru, rv, rt)
+        # per-instance jit: a class-level jit with static `self` would pin
+        # every refiner (and its full param tree) in the global jit cache
+        # forever and retrace per instance
+        self._refine_fn = jax.jit(self._refine_impl, static_argnames=("num_steps",))
 
     def _init_params(self, ru, rv, rt):
         cfg = self.config
@@ -116,8 +119,7 @@ class SDXLRefiner:
         ids = jnp.asarray([h, w, 0, 0, aesthetic], jnp.float32)
         return jnp.broadcast_to(ids[None, : self.config.unet.num_time_ids], (n, self.config.unet.num_time_ids))
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
-    def _refine_jit(
+    def _refine_impl(
         self, params, images, ids, eos_pos, neg_ids, neg_eos, noise,
         timesteps, sigmas, num_steps,
     ):
@@ -180,9 +182,9 @@ class SDXLRefiner:
             (n, h // factor, w // factor, cfg.unet.in_channels),
             jnp.float32,
         )
-        return self._refine_jit(
+        return self._refine_fn(
             self.params, jnp.asarray(images, jnp.float32),
             jnp.asarray(ids), jnp.asarray(eos), jnp.asarray(nids), jnp.asarray(neos),
             noise, jnp.asarray(sched.timesteps), jnp.asarray(sched.sigmas),
-            len(sched.timesteps),
+            num_steps=len(sched.timesteps),
         )
