@@ -51,7 +51,7 @@ def main():
 
     with tempfile.TemporaryDirectory() as td:
         root = Path(td) / "mini"
-        build_dataset(root, Path(args.kodak))
+        build_dataset(root, Path(args.kodak) if args.kodak else None)
         process_dataset("train", root, workers=2)
         process_dataset("val", root, workers=2)
         process_dataset("test", root / "val", workers=2)

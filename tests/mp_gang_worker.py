@@ -47,7 +47,6 @@ def main() -> None:
     import optax
 
     from textmae_tpu.models.mcm import MCM, MCMConfig
-    from textmae_tpu.train.checkpoint import load_params_npz, save_params_npz
     from textmae_tpu.train.state import TrainState
     from textmae_tpu.train.step import make_train_step
 
@@ -86,37 +85,46 @@ def main() -> None:
     }
 
     key = jax.random.PRNGKey(0)
-    variables = model.init(
-        {"params": key, "noise": key},
-        imgs[:1],
-        scores[:1],
-        training=False,
-        compute_loss=False,
-    )
-    params = variables["params"]
-
-    # resume: all processes read the replicated params + step checkpoint
-    # (written lead-only, npz distribution format — process-count agnostic)
-    ckpt = workdir / "gang_ckpt.npz"
-    meta_file = workdir / "gang_ckpt_meta.json"
-    start_step = 0
-    if ckpt.is_file() and meta_file.is_file():
-        params = jax.tree.map(
-            lambda a: jax.numpy.asarray(a), load_params_npz(ckpt)
+    variables = jax.jit(
+        lambda r, x, s: model.init(
+            {"params": r, "noise": r}, x, s, training=False, compute_loss=False
         )
-        start_step = json.loads(meta_file.read_text())["step"]
+    )(key, jax.numpy.asarray(imgs[:1]), jax.numpy.asarray(scores[:1]))
+    params = variables["params"]
 
     tx = optax.adam(1e-3)
     state = TrainState.create(params, tx)
+
+    # resume: all processes read the replicated FULL TrainState checkpoint
+    # (params + Adam moments + step — submitit's requeue restores optimizer
+    # state too, util/misc.py:295-329; params-only resume would optimize
+    # differently post-restart). Written lead-only, numbered-leaf npz keyed
+    # by the state treedef — process-count agnostic.
+    ckpt = workdir / "gang_ckpt.npz"
+    meta_file = workdir / "gang_ckpt_meta.json"
+    treedef = jax.tree.structure(state)
+    start_step = 0
+    if ckpt.is_file() and meta_file.is_file():
+        with np.load(ckpt) as z:
+            leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+        state = jax.tree.unflatten(treedef, leaves)
+        start_step = json.loads(meta_file.read_text())["step"]
+
     state = jax.device_put(state, replicate(mesh))
     train_step = make_train_step(model, tx, lmbda=1e-4)
+
+    def save_state(path: Path, st) -> None:
+        leaves = jax.tree.leaves(jax.tree.map(np.asarray, st))
+        tmp = path.with_name(path.name + ".tmp.npz")  # savez appends .npz
+        np.savez_compressed(tmp, **{f"leaf_{i}": a for i, a in enumerate(leaves)})
+        os.replace(tmp, path)  # atomic: mid-write preemption must not corrupt
 
     losses = []
     for step in range(start_step, TOTAL_STEPS):
         state, metrics = train_step(state, batch, jax.random.fold_in(key, step))
         losses.append(float(metrics["loss"]))
         if proc_id == 0:
-            save_params_npz(ckpt, jax.tree.map(np.asarray, state.params), np.float32)
+            save_state(ckpt, state)
             tmp = meta_file.with_suffix(".tmp")
             tmp.write_text(json.dumps({"step": step + 1}))
             tmp.replace(meta_file)

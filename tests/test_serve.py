@@ -44,6 +44,26 @@ def setup():
     return model, variables, imgs, scores
 
 
+def test_container_v1_blob_still_decodes():
+    """Blobs packed by the pre-normalize-flag format (VERSION=1) must keep
+    decoding — as normalize=False, the only v1 behavior."""
+    import struct
+
+    y, z, side = b"yy-stream", b"zz", b"side!"
+    header = container._HEADER_V1.pack(
+        container.MAGIC, 1, 96, 36, 16, 1, 3, 3, 123, 45,
+        len(y), len(z), len(side),
+    )
+    stream, side2, meta = container.unpack_image(header + y + z + side)
+    assert stream.y_string == y and stream.z_string == z
+    assert side2 == side
+    assert meta["normalize"] is False
+    assert meta["orig_size"] == (123, 45) and meta["z_shape"] == (3, 3)
+    with pytest.raises(ValueError, match="unsupported container version"):
+        bad = struct.pack("<4sB", container.MAGIC, 7) + header[5:]
+        container.unpack_image(bad + y + z + side)
+
+
 def test_container_roundtrip(setup):
     model, variables, imgs, scores = setup
     codec = MCMCodec(model, variables)

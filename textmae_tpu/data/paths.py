@@ -30,8 +30,11 @@ def find_kodak() -> Path | None:
     24 Kodak images are released by Kodak for unrestricted use).
     """
     repo = Path(__file__).resolve().parents[2]
+    env = os.environ.get("TEXTMAE_KODAK")
     for d in (
-        Path(os.environ.get("TEXTMAE_KODAK", "")),
+        # Path("") resolves to cwd — an unset/empty env var must NOT turn
+        # stray PNGs in the working directory into "the Kodak dataset"
+        Path(env) if env else None,
         resolve_dataset("kodak"),
         Path("/root/reference/datasets/kodak"),
         repo / "tests" / "fixtures" / "kodak_half",

@@ -35,6 +35,9 @@ from textmae_tpu.eval.codec import CompressedImage
 MAGIC = b"TMC1"
 VERSION = 2  # v2 adds the normalize flag byte (ADVICE r1)
 _HEADER = struct.Struct("<4sBHHHBBBBHHIIH")
+# v1 (no normalize byte) stays readable: old blobs decode as normalize=False,
+# which was the only v1 behavior
+_HEADER_V1 = struct.Struct("<4sBHHHBBBHHIIH")
 
 
 def pack_image(
@@ -70,31 +73,52 @@ def pack_image(
 
 def unpack_image(data: bytes) -> Tuple[CompressedImage, bytes, Dict]:
     """Parse a container blob -> (streams, side_payload, header meta)."""
-    if len(data) < _HEADER.size:
+    if len(data) < _HEADER_V1.size:
         raise ValueError("container truncated (no header)")
-    (
-        magic,
-        version,
-        img_size,
-        num_patches,
-        num_keep,
-        canonical,
-        normalize,
-        hz,
-        wz,
-        orig_w,
-        orig_h,
-        y_len,
-        z_len,
-        side_len,
-    ) = _HEADER.unpack_from(data)
+    magic, version = struct.unpack_from("<4sB", data)
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}")
-    if version != VERSION:
+    if version == VERSION:
+        (
+            _,
+            _,
+            img_size,
+            num_patches,
+            num_keep,
+            canonical,
+            normalize,
+            hz,
+            wz,
+            orig_w,
+            orig_h,
+            y_len,
+            z_len,
+            side_len,
+        ) = _HEADER.unpack_from(data)
+        header_size = _HEADER.size
+    elif version == 1:
+        (
+            _,
+            _,
+            img_size,
+            num_patches,
+            num_keep,
+            canonical,
+            hz,
+            wz,
+            orig_w,
+            orig_h,
+            y_len,
+            z_len,
+            side_len,
+        ) = _HEADER_V1.unpack_from(data)
+        normalize = 0
+        header_size = _HEADER_V1.size
+    else:
         raise ValueError(f"unsupported container version {version}")
-    if len(data) != _HEADER.size + y_len + z_len + side_len:
+    if len(data) != header_size + y_len + z_len + side_len:
         raise ValueError("container length mismatch")
-    o = _HEADER.size
+    o = header_size
     y_string = data[o : o + y_len]
     z_string = data[o + y_len : o + y_len + z_len]
     side = data[o + y_len + z_len :]

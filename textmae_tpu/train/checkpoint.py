@@ -92,7 +92,11 @@ def save_params_npz(path: os.PathLike, params: Dict, dtype=np.float16) -> Path:
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, **out)
+    # atomic: a preemption mid-write must not leave a truncated npz that the
+    # next restart loads and crashes on (the elastic gang-restart contract)
+    tmp = path.with_name(path.name + ".tmp.npz")  # savez appends .npz otherwise
+    np.savez_compressed(tmp, **out)
+    os.replace(tmp, path)
     return path
 
 
