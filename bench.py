@@ -294,5 +294,71 @@ def main():
     )
 
 
+def supervise() -> int:
+    """Run the measurement in fresh subprocesses with bounded retries.
+
+    A failed backend init is cached in-process by jax, and the axon TPU
+    tunnel is intermittently unavailable at driver time (BENCH_r02.json was
+    rc=1 with a raw traceback — VERDICT.md round 2, Missing #1). So each
+    attempt is a fresh subprocess; on final failure the supervisor still
+    prints ONE machine-readable JSON line for the scoreboard.
+    """
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
+    backoffs = [30.0, 90.0]
+    last_err = "unknown"
+    for attempt in range(attempts):
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=subprocess.PIPE,
+                timeout=timeout_s,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1} timed out after {timeout_s:.0f}s"
+            print(f"[bench] {last_err}", file=sys.stderr, flush=True)
+            continue
+        # the result line is the last stdout line that parses as a JSON
+        # object with the scoreboard keys; everything else is diagnostics
+        result = None
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                obj = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(obj, dict) and {"metric", "value", "unit"} <= obj.keys():
+                result = line
+                break
+        if proc.returncode == 0 and result is not None:
+            print(result)
+            return 0
+        tail = "\n".join(proc.stdout.splitlines()[-8:])
+        last_err = f"attempt {attempt + 1} rc={proc.returncode}; tail: {tail[-500:]}"
+        print(f"[bench] {last_err}", file=sys.stderr, flush=True)
+        if attempt < attempts - 1:
+            time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
+    print(
+        json.dumps(
+            {
+                "metric": "kodak24_compress_decompress",
+                "value": 0.0,
+                "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+                "error": last_err,
+                "note": f"all {attempts} bench attempts failed (backend/tunnel?)",
+            }
+        )
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_CHILD") == "1":
+        sys.exit(main())
+    sys.exit(supervise())

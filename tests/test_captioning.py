@@ -115,6 +115,20 @@ def test_caption_shapes_and_determinism():
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
 
 
+def test_kv_cache_overflow_rejected():
+    """prefix + prompt + max_new_tokens beyond the KV cache must error:
+    dynamic_update_slice clamps out-of-range starts, which would silently
+    rewrite the last cache slot and corrupt captions (ADVICE r2)."""
+    import dataclasses
+
+    cfg = Blip2Config.tiny()
+    cfg = dataclasses.replace(cfg, max_new_tokens=cfg.opt.max_positions)
+    cap = Blip2Captioner(cfg)
+    pix = cap.preprocess(np.zeros((1, 56, 56, 3), np.float32))
+    with pytest.raises(ValueError, match="max_positions"):
+        cap.generate_ids(pix)
+
+
 def test_eos_padding():
     """Tokens after EOS must be pad (greedy loop's done-latch)."""
     cap = Blip2Captioner(Blip2Config.tiny())

@@ -101,6 +101,10 @@ def test_container_rejects_corruption(setup):
     with pytest.raises(ValueError):
         container.unpack_image(blob[:10])  # truncated header
     with pytest.raises(ValueError):
+        # v2 blob cut to exactly the v1 header size: passes the v1-size guard
+        # but must still raise ValueError, not struct.error (ADVICE r2)
+        container.unpack_image(blob[: container._HEADER_V1.size])
+    with pytest.raises(ValueError):
         container.unpack_image(blob + b"junk")  # length mismatch
     _, _, meta = container.unpack_image(blob)
     other = MCMConfig(

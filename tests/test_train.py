@@ -265,6 +265,34 @@ def test_restore_params_any_npz(tmp_path):
     assert out["b"]["steps"].dtype == np.int32
 
 
+def test_npz_meta_provenance(tmp_path):
+    """save_params_npz(meta=...) records training provenance (ADVICE r2:
+    normalize must travel with the npz); meta entries are invisible to the
+    params loader."""
+    import jax
+
+    from textmae_tpu.train.checkpoint import (
+        load_npz_meta,
+        load_params_npz,
+        save_params_npz,
+    )
+
+    params = {"a": {"kernel": np.ones((2, 2), np.float32)}}
+    path = save_params_npz(
+        tmp_path / "m.npz", params, dtype=np.float32,
+        meta={"normalize": True, "num_keep_patches": 144, "lmbda": 0.01},
+    )
+    meta = load_npz_meta(path)
+    assert meta["normalize"] == True  # noqa: E712  (numpy bool)
+    assert meta["num_keep_patches"] == 144
+    assert abs(meta["lmbda"] - 0.01) < 1e-12
+    out = load_params_npz(path)
+    assert jax.tree_util.tree_structure(out) == jax.tree_util.tree_structure(params)
+    # old files without meta: empty dict, no error
+    plain = save_params_npz(tmp_path / "p.npz", params, dtype=np.float32)
+    assert load_npz_meta(plain) == {}
+
+
 def test_train_cli_e2e_tensor_parallel(tmp_path, capsys):
     """Full train CLI, one epoch, dp4 x tp2 over the virtual 8-device mesh.
 

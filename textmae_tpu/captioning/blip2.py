@@ -158,6 +158,17 @@ class Blip2Captioner:
             self._generate_fn = jax.jit(self._generate_impl)
         n = pixels.shape[0]
         prompt = jnp.full((n, 1), self.config.opt.bos_token_id, jnp.int32)
+        # the KV cache is max_positions long and dynamic_update_slice CLAMPS
+        # out-of-range starts — an overflowing decode would silently rewrite
+        # the last cache slot and corrupt captions instead of erroring
+        # (ADVICE r2); the prompt is 1 BOS token here
+        total = self.config.qformer.num_queries + 1 + self.config.max_new_tokens
+        if total > self.config.opt.max_positions:
+            raise ValueError(
+                f"prefix({self.config.qformer.num_queries}) + prompt(1) + "
+                f"max_new_tokens({self.config.max_new_tokens}) = {total} "
+                f"exceeds opt.max_positions={self.config.opt.max_positions}"
+            )
         return np.asarray(self._generate_fn(self.params, pixels, prompt))
 
     def decode(self, ids: np.ndarray) -> List[str]:

@@ -112,9 +112,23 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(0)
     if ckpt and ckpt.endswith(".npz"):
-        from textmae_tpu.train.checkpoint import load_params_npz
+        from textmae_tpu.train.checkpoint import load_npz_meta, load_params_npz
 
         variables = {"params": load_params_npz(ckpt)}
+        # self-configure from the checkpoint's training provenance: an npz
+        # trained with --normalize silently decodes wrong pixel values when
+        # the flag is not re-passed (ADVICE r2)
+        meta = load_npz_meta(ckpt)
+        if "normalize" in meta:
+            trained_norm = bool(meta["normalize"])
+            if args.normalize is None:
+                args.normalize = trained_norm
+                print(f"normalize={trained_norm} (from checkpoint meta)")
+            elif bool(args.normalize) != trained_norm:
+                print(
+                    f"WARNING: --normalize={bool(args.normalize)} but the "
+                    f"checkpoint was trained with normalize={trained_norm}"
+                )
     else:
         variables = jax.jit(
             lambda r: model.init(

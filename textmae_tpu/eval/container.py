@@ -79,6 +79,11 @@ def unpack_image(data: bytes) -> Tuple[CompressedImage, bytes, Dict]:
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}")
     if version == VERSION:
+        # the v1 guard above is one byte shorter than the v2 header; without
+        # this check a truncated v2 blob leaks struct.error instead of the
+        # documented ValueError (ADVICE r2)
+        if len(data) < _HEADER.size:
+            raise ValueError("container truncated (v2 header)")
         (
             _,
             _,

@@ -74,7 +74,9 @@ def restore_checkpoint(path: os.PathLike, state_template=None) -> Tuple[Any, Dic
     return state, payload["meta"]
 
 
-def save_params_npz(path: os.PathLike, params: Dict, dtype=np.float16) -> Path:
+def save_params_npz(
+    path: os.PathLike, params: Dict, dtype=np.float16, meta: Optional[Dict] = None
+) -> Path:
     """Write a params pytree as a flat compressed npz (distribution format).
 
     Float leaves are cast to `dtype` (f16 halves the artifact size; rounding
@@ -82,6 +84,12 @@ def save_params_npz(path: os.PathLike, params: Dict, dtype=np.float16) -> Path:
     CDF tables from the loaded params, so bitstream round-trips stay exact).
     Keys are "/"-joined paths. Counterpart of the reference's torch.save
     weights file (model_utils.py:40-48) for shipping trained weights in-repo.
+
+    meta: small scalar facts about how the checkpoint was trained (e.g.
+    ``{"normalize": True, "num_keep_patches": 144}``), stored under
+    ``__meta__/<key>`` entries so consumers can self-configure instead of
+    requiring the user to re-pass training-time flags (ADVICE r2: an npz
+    without its --normalize provenance silently decodes wrong pixel values).
     """
     import flax.traverse_util as tu
 
@@ -90,6 +98,8 @@ def save_params_npz(path: os.PathLike, params: Dict, dtype=np.float16) -> Path:
         k: (v.astype(dtype) if np.issubdtype(v.dtype, np.floating) else v)
         for k, v in flat.items()
     }
+    for k, v in (meta or {}).items():
+        out[f"__meta__/{k}"] = np.asarray(v)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     # atomic: a preemption mid-write must not leave a truncated npz that the
@@ -101,7 +111,11 @@ def save_params_npz(path: os.PathLike, params: Dict, dtype=np.float16) -> Path:
 
 
 def load_params_npz(path: os.PathLike, dtype=np.float32) -> Dict:
-    """Load a params pytree saved by save_params_npz; floats cast to `dtype`."""
+    """Load a params pytree saved by save_params_npz; floats cast to `dtype`.
+
+    ``__meta__/*`` provenance entries are not params — read them with
+    load_npz_meta.
+    """
     import flax.traverse_util as tu
 
     with np.load(Path(path)) as z:
@@ -112,8 +126,20 @@ def load_params_npz(path: os.PathLike, dtype=np.float32) -> Dict:
                 else np.asarray(v)
             )
             for k, v in z.items()
+            if not k.startswith("__meta__/")
         }
     return tu.unflatten_dict(flat, sep="/")
+
+
+def load_npz_meta(path: os.PathLike) -> Dict:
+    """Provenance meta stored by save_params_npz(meta=...); {} for old files."""
+    meta = {}
+    with np.load(Path(path)) as z:
+        for k in z.files:
+            if k.startswith("__meta__/"):
+                v = z[k]
+                meta[k[len("__meta__/"):]] = v.item() if v.ndim == 0 else v
+    return meta
 
 
 def restore_params_any(path: os.PathLike, params_template: Dict) -> Dict:
