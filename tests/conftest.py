@@ -37,3 +37,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+_EXPECTED_CACHE_DIR = jax.config.jax_compilation_cache_dir
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _compile_cache_hygiene():
+    """Guard the process-wide compile cache dir (VERDICT r2 Next #7).
+
+    The efb5740 failure class: a test redirected jax_compilation_cache_dir to
+    a pytest tmp_path and never restored it, silently cold-compiling every
+    later module on every run (suite wall time doubled). Any test that
+    changes the dir must restore it before its module ends.
+    """
+    yield
+    assert jax.config.jax_compilation_cache_dir == _EXPECTED_CACHE_DIR, (
+        "a test left jax_compilation_cache_dir changed "
+        f"({jax.config.jax_compilation_cache_dir!r}); restore it or every "
+        "later module cold-compiles (efb5740 regression)"
+    )

@@ -36,6 +36,18 @@ class Blip2Config:
     max_new_tokens: int = 20  # the reference wrapper's default
 
     @classmethod
+    def full(cls, dtype=jnp.float32, max_positions: int = 64) -> "Blip2Config":
+        """The published blip2-opt-2.7b dims (EVA ViT-g 1408x39, Q-Former
+        768x12, OPT-2.7b 2560x32) with the KV cache sized to the actual
+        generation budget (32 query tokens + BOS + max_new_tokens) instead
+        of OPT's 512 training positions."""
+        return cls(
+            vision=VisionConfig(dtype=dtype),
+            qformer=QFormerConfig(dtype=dtype),
+            opt=OPTConfig(max_positions=max_positions, dtype=dtype),
+        )
+
+    @classmethod
     def tiny(cls, dtype=jnp.float32) -> "Blip2Config":
         return cls(
             vision=VisionConfig(
@@ -57,7 +69,16 @@ class Blip2Config:
 class Blip2Captioner:
     """Holds the three module trees + params; `generate_ids` is jitted."""
 
-    def __init__(self, config: Blip2Config, rng: Optional[jax.Array] = None):
+    def __init__(
+        self,
+        config: Blip2Config,
+        rng: Optional[jax.Array] = None,
+        param_dtype=None,
+    ):
+        """param_dtype: storage dtype for the random-init params (e.g.
+        jnp.bfloat16 — full blip2-opt-2.7b dims are ~3.8B params, which only
+        fit a 16 GB chip as bf16; the cast happens INSIDE the jitted init so
+        the f32 tree is never materialized)."""
         self.config = config
         self.vision = VisionTower(config.vision)
         self.qformer = QFormer(config.qformer)
@@ -70,23 +91,40 @@ class Blip2Captioner:
             (1, config.vision.image_size, config.vision.image_size, 3), jnp.float32
         )
         vtok = jnp.zeros((1, config.vision.num_positions, config.qformer.encoder_width))
+
+        def cast(tree):
+            if param_dtype is None:
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
         self.params = {
             # jitted init: one fused program per submodule instead of eager
             # op-by-op initializer dispatch
-            "vision": jax.jit(lambda r, x: self.vision.init(r, x)["params"])(rv, img),
-            "qformer": jax.jit(lambda r, v: self.qformer.init(r, v)["params"])(
-                rq, vtok
+            "vision": jax.jit(lambda r, x: cast(self.vision.init(r, x)["params"]))(
+                rv, img
             ),
+            "qformer": jax.jit(
+                lambda r, v: cast(self.qformer.init(r, v)["params"])
+            )(rq, vtok),
             "opt": jax.jit(
-                lambda r, h: self.opt.init(r, h, method=OPTDecoder.prefill)["params"]
+                lambda r, h: cast(
+                    self.opt.init(r, h, method=OPTDecoder.prefill)["params"]
+                )
             )(ro, jnp.zeros((1, 4, config.opt.hidden_size))),
             # language_projection: qformer hidden -> OPT hidden
-            "proj": {
-                "kernel": jax.random.normal(
-                    rp, (config.qformer.hidden_size, config.opt.hidden_size)
-                ) * 0.02,
-                "bias": jnp.zeros((config.opt.hidden_size,)),
-            },
+            "proj": jax.jit(
+                lambda r: cast({
+                    "kernel": jax.random.normal(
+                        r, (config.qformer.hidden_size, config.opt.hidden_size)
+                    ) * 0.02,
+                    "bias": jnp.zeros((config.opt.hidden_size,)),
+                })
+            )(rp),
         }
 
     # ------------------------------------------------------------------
