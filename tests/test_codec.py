@@ -54,6 +54,26 @@ def test_codec_roundtrip_matches_forward(setup):
     )
 
 
+def test_device_chain_decompress_bit_identical(setup):
+    """decompress(device_chain=True) — the in-jit rANS slice chain with zero
+    host alternations (VERDICT r2 Next #6) — must produce the SAME image
+    bits as the host-alternating path: identical per-slice programs fed
+    bit-equal decoded symbols."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    streams, ids_restore = codec.compress(imgs, scores)
+    x_host = np.asarray(codec.decompress(streams, ids_restore, device_chain=False))
+    x_dev = np.asarray(codec.decompress(streams, ids_restore, device_chain=True))
+    np.testing.assert_array_equal(x_dev, x_host)
+    # the constructor/env default also routes there
+    codec2 = MCMCodec(model, variables, device_chain=True)
+    codec2.update(force=True)
+    np.testing.assert_array_equal(
+        np.asarray(codec2.decompress(streams, ids_restore)), x_host
+    )
+
+
 def test_codec_requires_update(setup):
     model, variables, imgs, scores = setup
     codec = MCMCodec(model, variables)

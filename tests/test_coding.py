@@ -199,6 +199,95 @@ def test_decoder_rejects_short_stream():
         dec.set_stream(b"abc")  # < 8 bytes, no valid state
 
 
+# ---------------------------------------------------------------------------
+# On-device (jit) rANS decoder: bit-exact vs the host coders
+# ---------------------------------------------------------------------------
+def test_device_rans_matches_host(rng):
+    """The jit device decoder reproduces the host decode exactly — batched
+    unequal-length streams, escapes included (VERDICT r2 Next #6: the decode
+    chain's host alternations replaced by in-jit symbol decode)."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import decode_symbols, init_states
+
+    table, lengths, offsets = _random_tables(rng)
+    n_streams, T = 5, 400
+    streams, all_syms, all_idx = [], [], []
+    for _ in range(n_streams):
+        symbols, indexes = _random_payload(
+            rng, table, lengths, offsets, n=T, escape_frac=0.08
+        )
+        enc = RansEncoder()
+        enc.encode_with_indexes(symbols, indexes, table, lengths, offsets)
+        streams.append(enc.flush())
+        all_syms.append(symbols)
+        all_idx.append(indexes)
+    # host reference
+    for s, syms, idx in zip(streams, all_syms, all_idx):
+        dec = RansDecoder()
+        dec.set_stream(s)
+        np.testing.assert_array_equal(
+            dec.decode_stream(idx, table, lengths, offsets), syms
+        )
+    # device decode, all streams at once
+    words, count, hi, lo, pos = init_states(streams)
+    out, _, _, _ = jax.jit(decode_symbols)(
+        words, count, hi, lo, pos, np.stack(all_idx), table, lengths, offsets
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.stack(all_syms))
+
+
+def test_device_rans_state_threads_across_calls(rng):
+    """Decoder state (hi, lo, pos) carries across decode_symbols calls the
+    way RansDecoder state persists across decode_stream calls — the slice
+    chain decodes one slice per call against device-computed indexes."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import decode_symbols, init_states
+
+    table, lengths, offsets = _random_tables(rng)
+    chunks = [
+        _random_payload(rng, table, lengths, offsets, n=120, escape_frac=0.1)
+        for _ in range(6)
+    ]
+    enc = RansEncoder()
+    for syms, idx in chunks:
+        enc.encode_with_indexes(syms, idx, table, lengths, offsets)
+    stream = enc.flush()
+    words, count, hi, lo, pos = init_states([stream])
+    dec = jax.jit(decode_symbols)
+    for syms, idx in chunks:
+        out, hi, lo, pos = dec(
+            words, count, hi, lo, pos, idx[None], table, lengths, offsets
+        )
+        np.testing.assert_array_equal(np.asarray(out)[0], syms)
+
+
+def test_device_rans_gaussian_tables(rng):
+    """Same check against the REAL Gaussian scale tables the codec uses
+    (64 scales, long CDF rows — the production decode path's table shape)."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import decode_symbols, init_states
+
+    gt = build_gaussian_tables(get_scale_table())
+    n = 1500
+    indexes = rng.integers(0, len(gt.cdf_length), n).astype(np.int32)
+    max_bins = gt.cdf_length[indexes] - 2
+    symbols = (rng.random(n) * max_bins).astype(np.int32) + gt.offset[indexes]
+    enc = RansEncoder()
+    enc.encode_with_indexes(
+        symbols, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
+    )
+    stream = enc.flush()
+    words, count, hi, lo, pos = init_states([stream])
+    out, _, _, _ = jax.jit(decode_symbols)(
+        words, count, hi, lo, pos, indexes[None],
+        gt.quantized_cdf, gt.cdf_length, gt.offset,
+    )
+    np.testing.assert_array_equal(np.asarray(out)[0], symbols)
+
+
 def test_huffman_roundtrip(rng):
     coder = HuffmanCoder()
     for shape in [(196,), (1, 196), (5, 5)]:

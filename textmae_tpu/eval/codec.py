@@ -109,7 +109,25 @@ class CompressedImage:
 
 
 class MCMCodec:
-    def __init__(self, model: MCM, variables: Dict, num_threads: int = 8):
+    def __init__(
+        self,
+        model: MCM,
+        variables: Dict,
+        num_threads: int = 8,
+        device_chain: Optional[bool] = None,
+    ):
+        """device_chain: decode the y bitstreams INSIDE jit (coding.device_rans)
+        so the whole slice chain is one async dispatch chain with a single
+        blocking fetch — no per-slice host alternation (VERDICT r2 Next #6).
+        Host coding stays the default (None/False): on locally-attached chips
+        the C++ decoder + cheap round trips win; on remote-attached chips the
+        device chain wins (each alternation costs a full tunnel RTT). Env
+        override: TEXTMAE_DEVICE_CHAIN=1."""
+        import os as _os
+
+        if device_chain is None:
+            device_chain = _os.environ.get("TEXTMAE_DEVICE_CHAIN", "0") == "1"
+        self.device_chain = bool(device_chain)
         self.model = model
         # Commit params to device ONCE. Checkpoint restores hand back host
         # numpy arrays; leaving them host-side makes every jitted program in
@@ -193,6 +211,10 @@ class MCMCodec:
         self._finish = jax.jit(
             lambda v, y_hat, ids: model.apply(v, y_hat, ids, method=MCM.decode_finish)
         )
+        from textmae_tpu.coding.device_rans import decode_symbols
+
+        self._dev_decode = jax.jit(decode_symbols)
+        self._narrow16 = jax.jit(lambda a: a.astype(jnp.int16))
 
         def _pack(syms, idxs, z_sym, ids_restore, overflow):
             # single D2H buffer with an int8 symbol payload — quantized
@@ -436,10 +458,15 @@ class MCMCodec:
 
     # ------------------------------------------------------------------
     def decompress(
-        self, streams: Sequence[CompressedImage], ids_restore: np.ndarray
+        self,
+        streams: Sequence[CompressedImage],
+        ids_restore: np.ndarray,
+        device_chain: Optional[bool] = None,
     ) -> jnp.ndarray:
         """Per-image bitstreams -> (N, C, H, W) reconstruction."""
         self._require_tables()
+        if self.device_chain if device_chain is None else device_chain:
+            return self._decompress_device(streams, ids_restore)
         cfg = self.cfg
         gt, et = self.gauss_tables, self.eb_tables
         n = len(streams)
@@ -509,6 +536,94 @@ class MCMCodec:
                     index_np[t, j], gt.quantized_cdf, gt.cdf_length, gt.offset
                 ).reshape(grid, grid, g)
         y_tail = self._tail_update(v, ms_t, mu_t, self._h2d_sym(sym_t, self._widen16))
+        y_slices.extend(y_tail[t] for t in range(tail))
+
+        y_hat = jnp.concatenate(y_slices, axis=-1)
+        return self._finish(v, y_hat, jnp.asarray(ids_restore))
+
+    def _decompress_device(
+        self, streams: Sequence[CompressedImage], ids_restore: np.ndarray
+    ) -> jnp.ndarray:
+        """Decode with the rANS state machine inside jit (coding.device_rans).
+
+        The stream words upload once; every step of the slice chain — params,
+        symbol decode, buffer update — is an async dispatch, so the only
+        blocking device<->host transfer in the whole decompress is the
+        caller's fetch of the final image. The per-slice mu/index programs
+        are the SAME compiled executables the host path (and compress) runs,
+        so encoder/decoder bit-identity is untouched; the decoded symbols are
+        bit-equal to the host decoder's by the device_rans fuzz contract.
+        """
+        cfg = self.cfg
+        gt, et = self.gauss_tables, self.eb_tables
+        n = len(streams)
+        hz, wz = streams[0].z_shape
+        cz = cfg.hyperprior_depth
+
+        # hyperlatent decode stays host-side: the z bytes are already on the
+        # host and nothing downstream blocks on the device for it
+        z_indexes = np.tile(np.arange(cz, dtype=np.int32), hz * wz)
+        z_sym = np.empty((n, hz, wz, cz), np.int32)
+        for i, s in enumerate(streams):
+            dec = RansDecoder()
+            dec.set_stream(s.z_string)
+            z_sym[i] = dec.decode_stream(
+                z_indexes, et.quantized_cdf, et.cdf_length, et.offset
+            ).reshape(hz, wz, cz)
+        latent_means, latent_scales = self._hyper(
+            self.variables, self._h2d_sym(z_sym, self._widen32)
+        )
+
+        from textmae_tpu.coding.device_rans import init_states
+
+        words, count, hi, lo, pos = (
+            jnp.asarray(a) for a in init_states([s.y_string for s in streams])
+        )
+        gtc = jnp.asarray(gt.quantized_cdf)
+        gtl = jnp.asarray(gt.cdf_length)
+        gto = jnp.asarray(gt.offset)
+        g = cfg.group_ch
+        grid = cfg.keep_grid
+        v = self.variables
+        buf = jnp.zeros((n, grid, grid, g * cfg.max_support), jnp.float32)
+        y_slices = []
+
+        def dev_decode(index):
+            nonlocal hi, lo, pos
+            out, hi, lo, pos = self._dev_decode(
+                words, count, hi, lo, pos, index.reshape(n, -1), gtc, gtl, gto
+            )
+            return self._narrow16(out).reshape(n, grid, grid, g)
+
+        head = cfg.max_support
+        mu, index, ms = self._slice_params(
+            v, buf, latent_means, latent_scales, jnp.int32(0)
+        )
+        sym = dev_decode(index)
+        for si in range(1, head):
+            buf, y_hat_prev, mu, index, ms = self._slice_step(
+                v, buf, ms, mu, sym, latent_means, latent_scales,
+                jnp.int32(si - 1), jnp.int32(si),
+            )
+            y_slices.append(y_hat_prev)
+            sym = dev_decode(index)
+        buf, y_hat_last = self._slice_update(
+            v, buf, ms, mu, sym, jnp.int32(head - 1)
+        )
+        y_slices.append(y_hat_last)
+
+        # tail: one in-jit decode for all remaining slices (stream order is
+        # slice-major within each image, hence the (N, T*h*w*g) transpose)
+        tail = cfg.num_slices - head
+        mu_t, index_t, ms_t = self._tail_params(v, buf, latent_means, latent_scales)
+        idx_flat = jnp.transpose(index_t, (1, 0, 2, 3, 4)).reshape(n, -1)
+        out, hi, lo, pos = self._dev_decode(
+            words, count, hi, lo, pos, idx_flat, gtc, gtl, gto
+        )
+        sym_t = jnp.transpose(
+            self._narrow16(out).reshape(n, tail, grid, grid, g), (1, 0, 2, 3, 4)
+        )
+        y_tail = self._tail_update(v, ms_t, mu_t, sym_t)
         y_slices.extend(y_tail[t] for t in range(tail))
 
         y_hat = jnp.concatenate(y_slices, axis=-1)
