@@ -1,34 +1,33 @@
-"""Mask-ratio R-D sweep: reproduce the reference's published curve SHAPE.
+"""Mask-ratio R-D sweep under the reference's eval protocol (VERDICT r2 #2).
 
-Targets VERDICT r2 Missing #2. The reference publishes (bpp, PSNR) points at
-75/50/25% masking (README.md:6-7 -> assets/1-2.png: 0.02/22.44, 0.07/25.6,
-0.15/27.8 on the airplane image), trained on ImageNet100 from the
-MAE-pretrained ViT-L init (setup.sh:21-22). Both the dataset and the init
-are env-blocked here (zero egress), so the measurable target is the curve
-shape across mask ratios, with the absolute gap documented.
+Reproduces the *shape* of the reference's published R-D curve
+(/root/reference/README.md:6-7 -> assets/1-2.png: 0.02 bpp / 22.44 dB at
+75% masked, 0.07 / 25.6 at 50%, 0.15 / 27.8 at 25% for the airplane image;
+0.018/22.2, 0.06/26.1, 0.12/27.5 for kodim23) in the zero-egress
+environment:
 
-Protocol:
-  * one MCM per keep count in {49, 100, 144} of 196 patches (75/49/27%
-    masked; keep counts must be perfect squares, MCM.py:729),
-  * trained on a fixed pool of random 224x224 crops (+flips) of the 24
-    Kodak originals — the only natural images available — so the model
-    cannot simply memorize the 24 resize-224 eval inputs (the eval inputs
-    are never seen during training),
-  * reference masking semantics: canonical_keep_order=False (kept tokens in
-    score order; side info = the full ids_restore permutation, as the
-    reference Huffman-codes it, testing.py:73-76),
-  * eval: standard resize-224 Kodak-24, real rANS bitstreams, reference bpp
-    accounting bits/(224*224) incl. permutation side info (testing.py:88-89),
-    metrics in raw pixel space (consistent-normalization eval; the
-    reference's raw-eval train/test mismatch is reported separately by
-    cli.test_model without --normalize).
+  * trains one MCM per mask ratio (``--keep`` 49 / 100 / 144) with
+    ``canonical_keep_order=False`` — the reference's token ordering, whose
+    ids_restore side info is a full 196-permutation (testing.py:73-76);
+  * training data is random 224x224 crops of the 22 NON-holdout full-res
+    Kodak images (the zero-egress stand-in for the reference's training
+    set; the MAE-pretrained init of setup.sh:21-22 is not downloadable
+    here, so absolute numbers carry a from-scratch gap that the report
+    quantifies);
+  * evaluation is on the HELD-OUT images (default kodim20 "airplane" +
+    kodim23 "parrots" — exactly the two images the reference publishes
+    per-image points for), resized to 224 like the reference test
+    transform, through the real rANS codec, with the reference's bpp
+    accounting: bitstream bytes x 8 plus entropy-coded ids_restore side
+    info, over the pixel count (testing.py:88-89).
 
-Usage (one process per run; sequential on the single chip):
-    python examples/rd_sweep.py --keep 49  --steps 60000 --lmbda 1.0
-    python examples/rd_sweep.py --keep 100 --steps 60000 --lmbda 1.0
-    python examples/rd_sweep.py --keep 144 --steps 60000 --lmbda 1.0
-Each run writes runs/rd_sweep/keep{K}.json and checkpoints under
-runs/rd_sweep/keep{K}/ (resume with --resume).
+Holding the eval images out is what makes the sweep informative: on unseen
+content the y/z rate cannot collapse to the memorized-near-zero regime that
+made the round-1 fixed-set sweep rate-degenerate (VERIFICATION.md), so both
+axes of the (bpp, PSNR) trend are exercised.
+
+Writes a JSON report per run (committed under reports/) and a f16 npz
+checkpoint. Aggregate the three runs with ``--tabulate``.
 """
 import argparse
 import json
@@ -40,63 +39,57 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
-POOL_CACHE = Path(__file__).resolve().parent.parent / "runs" / "crop_pool.npz"
+DEFAULT_HOLDOUT = "kodim20,kodim23"
 
 
-def build_crop_pool(n_per_image: int, seed: int, size: int = 224):
-    """Fixed pool of random crops (+hflips) of the Kodak originals.
+def build_crop_pool(files, pool_size, img_size, seed):
+    """Random crops + canonical scores from full-res images.
 
-    Returns (imgs uint8 (N,size,size,3), scores float32 (N,196)). Cached on
-    disk: the quadtree score map costs ~85 ms/crop on this host.
+    Crops stay uint8 (pool_size x S x S x 3 ~ 450 MB at 3072); batches are
+    normalized on assembly. Scores use the same canonical PIL-gray path as
+    every other producer (data/score_maps.load_gray rationale): gray is
+    taken by PIL "L" conversion of the crop.
     """
-    if POOL_CACHE.is_file():
-        z = np.load(POOL_CACHE)
-        if (
-            z["imgs"].shape[0] == 24 * n_per_image
-            and int(z["seed"]) == seed
-        ):
-            return z["imgs"], z["scores"]
     from PIL import Image
 
-    from textmae_tpu.data.paths import find_kodak
     from textmae_tpu.data.score_maps import total_score_for_image
 
-    files = sorted(find_kodak().glob("*.png"))
-    assert len(files) == 24, files
     rng = np.random.default_rng(seed)
-    imgs, scores = [], []
+    arrs, grays = [], []
     for f in files:
         with Image.open(f) as im:
-            rgb = np.asarray(im.convert("RGB"))
-            gray = np.asarray(im.convert("L"))
-        h, w = gray.shape
-        for _ in range(n_per_image):
-            y = int(rng.integers(0, h - size + 1))
-            x = int(rng.integers(0, w - size + 1))
-            c_rgb, c_gray = rgb[y : y + size, x : x + size], gray[y : y + size, x : x + size]
-            if rng.random() < 0.5:
-                c_rgb, c_gray = c_rgb[:, ::-1], c_gray[:, ::-1]
-            imgs.append(np.ascontiguousarray(c_rgb))
-            scores.append(total_score_for_image(np.ascontiguousarray(c_gray)))
-    imgs = np.stack(imgs)
-    scores = np.stack(scores).astype(np.float32)
-    POOL_CACHE.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(POOL_CACHE, imgs=imgs, scores=scores, seed=seed)
-    return imgs, scores
+            im = im.convert("RGB")
+            arrs.append(np.asarray(im, np.uint8))
+            grays.append(np.asarray(im.convert("L"), np.uint8))
+    crops = np.empty((pool_size, img_size, img_size, 3), np.uint8)
+    scores = np.empty((pool_size, 196), np.float32)
+    t0 = time.time()
+    for i in range(pool_size):
+        j = rng.integers(0, len(arrs))
+        a, g = arrs[j], grays[j]
+        y = rng.integers(0, a.shape[0] - img_size + 1)
+        x = rng.integers(0, a.shape[1] - img_size + 1)
+        crops[i] = a[y : y + img_size, x : x + img_size]
+        scores[i] = total_score_for_image(g[y : y + img_size, x : x + img_size])
+        if i % 512 == 0:
+            print(f"pool {i}/{pool_size} ({time.time() - t0:.0f}s)", flush=True)
+    return crops, scores
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--keep", type=int, required=True, choices=[49, 100, 144])
-    p.add_argument("--steps", type=int, default=60000)
+    p.add_argument("--keep", type=int, required=True, help="kept patches: 49/100/144")
     p.add_argument("--lmbda", type=float, default=1.0)
+    p.add_argument("--steps", type=int, default=40000)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--pool-per-image", type=int, default=64)
-    p.add_argument("--pool-seed", type=int, default=17)
+    p.add_argument("--pool", type=int, default=3072, help="precomputed crop pool size")
+    p.add_argument("--holdout", type=str, default=DEFAULT_HOLDOUT)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--eval-every", type=int, default=20000)
-    p.add_argument("--resume", type=str, default=None)
-    p.add_argument("--out-dir", type=str, default="runs/rd_sweep")
+    p.add_argument("--eval-every", type=int, default=10000)
+    p.add_argument("--report", type=str, default=None, help="JSON report path")
+    p.add_argument("--save", type=str, default=None, help="f16 npz checkpoint path")
+    p.add_argument("--debug-tiny", action="store_true",
+                   help="tiny model dims (CPU smoke test of the harness only)")
     args = p.parse_args()
 
     import jax
@@ -105,99 +98,173 @@ def main():
 
     enable_compile_cache()
     import jax.numpy as jnp
+    from PIL import Image
 
-    from bench import load_images
     from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from textmae_tpu.data.paths import find_kodak
     from textmae_tpu.data.score_maps import total_score_for_image
-    from textmae_tpu.eval import MCMCodec, inference
+    from textmae_tpu.eval import MCMCodec, compute_metrics
+    from textmae_tpu.eval.harness import code_side_info
     from textmae_tpu.models.mcm import MCM, MCMConfig
     from textmae_tpu.train import TrainState, configure_optimizers, make_train_step
-    from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
-    out_dir = Path(args.out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    tag = f"keep{args.keep}"
+    kodak = find_kodak()
+    if kodak is None:
+        raise SystemExit("no Kodak directory found")
+    holdout = {n.strip() for n in args.holdout.split(",") if n.strip()}
+    files = sorted(kodak.glob("*.png"))
+    train_files = [f for f in files if f.stem not in holdout]
+    eval_files = [f for f in files if f.stem in holdout]
+    print(f"train on {len(train_files)} images, hold out "
+          f"{[f.stem for f in eval_files]} from {kodak}", flush=True)
 
-    # ---- train pool (crops, never the eval inputs) on device as uint8
-    pool_imgs_np, pool_scores_np = build_crop_pool(args.pool_per_image, args.pool_seed)
-    n_pool = pool_imgs_np.shape[0]
-    pool_imgs = jnp.asarray(pool_imgs_np)  # (N,224,224,3) uint8, ~231 MB HBM
-    pool_scores = jnp.asarray(pool_scores_np)
-    mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1))
-    std = jnp.asarray(IMAGENET_STD.reshape(1, 3, 1, 1))
+    crops, scores_np = build_crop_pool(train_files, args.pool, 224, args.seed)
+    mean = IMAGENET_MEAN.reshape(1, 1, 1, 3).astype(np.float32)
+    std = IMAGENET_STD.reshape(1, 1, 1, 3).astype(np.float32)
 
-    @jax.jit
-    def make_batch(idx):
-        x = jnp.transpose(pool_imgs[idx].astype(jnp.float32) / 255.0, (0, 3, 1, 2))
-        return {"imgs": (x - mean) / std, "scores": pool_scores[idx]}
-
-    # ---- eval set: the standard resize-224 Kodak-24 protocol
-    eval_np, eval_grays = load_images()
-    eval_scores = jnp.asarray(np.stack([total_score_for_image(g) for g in eval_grays]))
-    eval_raw = jnp.asarray(eval_np.transpose(0, 3, 1, 2))
-    eval_norm = (eval_raw - mean) / std
-
-    cfg = MCMConfig(num_keep_patches=args.keep, canonical_keep_order=False)
+    if args.debug_tiny:
+        cfg = MCMConfig(
+            num_keep_patches=args.keep, canonical_keep_order=False,
+            encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=2,
+            decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+            latent_depth=24, hyperprior_depth=16, num_slices=4,
+            use_pallas=False,
+        )
+    else:
+        cfg = MCMConfig(num_keep_patches=args.keep, canonical_keep_order=False)
     model = MCM(cfg)
     rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    sscore = jnp.zeros((1, cfg.num_patches), jnp.float32)
     variables = jax.jit(
         lambda k: model.init(
-            {"params": k, "noise": k},
-            eval_norm[:1], eval_scores[:1], training=False, compute_loss=False,
+            {"params": k, "noise": k}, sample, sscore,
+            training=False, compute_loss=False,
         )
     )(rng)
     tx = configure_optimizers(variables["params"])
     state = TrainState.create(variables["params"], tx)
-    start_step = 0
-    if args.resume:
-        state, meta = restore_checkpoint(args.resume, state_template=state)
-        state = jax.device_put(state)
-        start_step = int(meta.get("sweep_step", 0))
-        print(f"resumed {args.resume} at step {start_step}", flush=True)
     step = make_train_step(model, tx, lmbda=args.lmbda)
 
-    def eval_codec(params, step_tag):
+    # held-out eval inputs: resized-to-224 RGB + canonical full-res gray score
+    eval_raw, eval_norm, eval_scores = [], [], []
+    for f in eval_files:
+        with Image.open(f) as im:
+            im = im.convert("RGB")
+            g = np.asarray(im.convert("L"), np.uint8)
+            r = np.asarray(im.resize((224, 224), Image.BICUBIC), np.float32) / 255.0
+        eval_raw.append(r)
+        eval_scores.append(total_score_for_image(g))
+    eval_raw = np.stack(eval_raw)
+    eval_norm = (eval_raw - mean) / std
+    eval_raw_d = jnp.asarray(eval_raw.transpose(0, 3, 1, 2))
+    eval_norm_d = jnp.asarray(eval_norm.transpose(0, 3, 1, 2))
+    eval_scores_d = jnp.asarray(np.stack(eval_scores))
+
+    num_px = 224 * 224
+
+    def eval_holdout(params, tag):
         codec = MCMCodec(model, {"params": params})
         codec.update(force=True)
-        res = inference(codec, eval_norm, eval_scores, denormalize=True)
-        res.pop("x_hat")
-        res = {k: float(v) for k, v in res.items()}
-        rec = {
-            "keep": args.keep,
-            "masked_pct": round(100 * (1 - args.keep / cfg.num_patches), 1),
-            "lmbda": args.lmbda,
-            "step": step_tag,
-            "protocol": "kodak24 resize-224, reference accounting "
-                        "(canonical_keep_order=False, permutation side info)",
-            **{k: round(v, 6) for k, v in res.items()},
+        per_image = {}
+        mean_d = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1))
+        std_d = jnp.asarray(IMAGENET_STD.reshape(1, 3, 1, 1))
+        t0 = time.time()
+        streams, ids_restore = codec.compress(eval_norm_d, eval_scores_d)
+        enc_t = time.time() - t0
+        payloads, ids = code_side_info(
+            np.asarray(ids_restore), cfg.num_keep_patches, cfg.canonical_keep_order
+        )
+        t0 = time.time()
+        x_hat = codec.decompress(streams, ids)
+        dec_t = time.time() - t0
+        x_px = x_hat * std_d + mean_d
+        for i, f in enumerate(eval_files):
+            m = compute_metrics(eval_raw_d[i : i + 1], x_px[i : i + 1])
+            # reference bpp accounting (testing.py:88-89): bitstream bytes x 8
+            # + entropy-coded ids_restore side info, over the pixel count
+            sbits = streams[i].num_bits()
+            pbits = len(payloads[i]) * 8
+            per_image[f.stem] = {
+                "psnr": round(float(m["psnr"]), 3),
+                "ms_ssim": round(float(m["ms-ssim"]), 5),
+                "bpp": round((sbits + pbits) / num_px, 5),
+                "bpp_streams": round(sbits / num_px, 5),
+                "bpp_side_info": round(pbits / num_px, 5),
+            }
+        agg = {
+            k: round(float(np.mean([v[k] for v in per_image.values()])), 5)
+            for k in next(iter(per_image.values()))
         }
-        print(json.dumps(rec), flush=True)
-        (out_dir / f"{tag}.json").write_text(json.dumps(rec, indent=1))
-        return rec
+        agg.update(encoding_time=enc_t / len(eval_files),
+                   decoding_time=dec_t / len(eval_files))
+        print(tag, json.dumps({"mean": agg, "per_image": per_image}), flush=True)
+        return per_image, agg
 
-    eval_codec(state.params, start_step)
-    order = np.random.default_rng(args.seed + 1 + start_step)
+    eval_holdout(state.params, "BEFORE:")
+    order = np.random.default_rng(args.seed + 1)
     t0 = time.time()
-    for it in range(start_step, start_step + args.steps):
-        idx = jnp.asarray(order.integers(0, n_pool, args.batch))
-        state, m = step(state, make_batch(idx), rng)
-        if (it - start_step) % max(args.steps // 20, 1) == 0:
+    for it in range(args.steps):
+        idx = order.integers(0, args.pool, args.batch)
+        b = (crops[idx].astype(np.float32) / 255.0 - mean) / std
+        batch = {
+            "imgs": jnp.asarray(b.transpose(0, 3, 1, 2)),
+            "scores": jnp.asarray(scores_np[idx]),
+        }
+        state, m = step(state, batch, rng)
+        if it % max(args.steps // 20, 1) == 0:
             print(
-                f"[{tag}] step {it}: loss={float(m['loss']):.4f} "
-                f"bpp={float(m['bpp_loss']):.4f} l1={float(m['L1_loss']):.4f} "
+                f"step {it}: loss={float(m['loss']):.4f} bpp={float(m['bpp_loss']):.4f} "
+                f"ssim={float(m['ssim_loss']):.4f} l1={float(m['L1_loss']):.4f} "
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
-        if args.eval_every and (it + 1) % args.eval_every == 0:
-            eval_codec(state.params, it + 1)
-            save_checkpoint(
-                out_dir / tag, f"step{it + 1}", state, {"sweep_step": it + 1}
-            )
-    total = start_step + args.steps
-    print(f"[{tag}] {args.steps} steps in {time.time() - t0:.0f}s", flush=True)
-    if not (args.eval_every and total % args.eval_every == 0):
-        eval_codec(state.params, total)
-        save_checkpoint(out_dir / tag, f"step{total}", state, {"sweep_step": total})
+        if args.eval_every and (it + 1) % args.eval_every == 0 and it + 1 < args.steps:
+            eval_holdout(state.params, f"EVAL@{it + 1}:")
+    train_s = time.time() - t0
+    print(f"{args.steps} steps in {train_s:.0f}s", flush=True)
+    per_image, agg = eval_holdout(state.params, "AFTER:")
+
+    if args.save:
+        from textmae_tpu.train.checkpoint import save_params_npz
+
+        path = save_params_npz(
+            Path(args.save), jax.device_get(state.params),
+            meta={
+                "normalize": True,
+                "num_keep_patches": args.keep,
+                "canonical_keep_order": False,
+                "lmbda": args.lmbda,
+                "steps": args.steps,
+            },
+        )
+        print(f"saved {path}", flush=True)
+    if args.report:
+        report = {
+            "config": {
+                "keep": args.keep,
+                "masked_pct": round(100 * (1 - args.keep / 196), 1),
+                "canonical_keep_order": False,
+                "lmbda": args.lmbda,
+                "steps": args.steps,
+                "batch": args.batch,
+                "pool": args.pool,
+                "train_images": [f.stem for f in train_files],
+                "holdout": sorted(holdout),
+                "seed": args.seed,
+                "train_seconds": round(train_s, 1),
+                "init": "from scratch (no MAE-pretrained encoder; "
+                        "setup.sh:21-22 weights not downloadable here)",
+            },
+            "protocol": "holdout eval at 224, real rANS codec, reference bpp "
+                        "accounting (bitstream bytes x 8 + permutation-coded "
+                        "ids_restore side info) / 224^2 px (testing.py:88-89)",
+            "per_image": per_image,
+            "mean": agg,
+        }
+        Path(args.report).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.report).write_text(json.dumps(report, indent=1))
+        print(f"wrote {args.report}", flush=True)
 
 
 if __name__ == "__main__":

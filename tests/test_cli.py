@@ -79,3 +79,33 @@ def test_stage_wrappers_surface():
     with pytest.raises(RuntimeError):
         d.refine_image("x", None)
     assert hasattr(Blip2, "prepare_model") and hasattr(Diffuser, "prepare_model")
+
+
+def test_apply_npz_meta(tmp_path):
+    """A single-npz eval self-configures keep/order/normalize from __meta__
+    (the rd_sweep / distribution-checkpoint contract); explicit flags win."""
+    from textmae_tpu.cli.test_model import _apply_npz_meta
+    from textmae_tpu.train.checkpoint import save_params_npz
+
+    path = tmp_path / "ck.npz"
+    save_params_npz(
+        path, {"w": np.zeros((2,), np.float32)},
+        meta={"normalize": True, "num_keep_patches": 49,
+              "canonical_keep_order": False},
+    )
+    args = eval_cli_parser().parse_args(["-d", "x", "-p", str(path)])
+    _apply_npz_meta(args)
+    assert args.num_keep_patches == 49
+    assert args.reference_order is True
+    assert args.normalize is True
+
+    # explicit non-default flag wins over meta
+    args = eval_cli_parser().parse_args(
+        ["-d", "x", "-p", str(path), "--num-keep-patches", "100"])
+    _apply_npz_meta(args)
+    assert args.num_keep_patches == 100
+
+    # multi-checkpoint / non-npz runs are untouched
+    args = eval_cli_parser().parse_args(["-d", "x", "-p", str(path), "other.npz"])
+    _apply_npz_meta(args)
+    assert args.num_keep_patches == 144 and not args.reference_order

@@ -41,13 +41,55 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full-resolution eval: tile each image into input-size "
                         "tiles instead of downscaling (eval/tiling.py)")
     p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
+    p.add_argument("--reference-order", action="store_true",
+                   help="canonical_keep_order=False: the reference's token "
+                        "ordering (MCM.py:640-652); ids_restore side info is "
+                        "then the full permutation, as testing.py:73-76 codes. "
+                        "Required for reference-trained / rd_sweep checkpoints")
     p.add_argument("--save-recon", action="store_true")
+    p.add_argument("--debug-tiny", action="store_true",
+                   help="tiny model dims (smoke-testing the eval path on CPU; "
+                        "mirrors cli.train --debug-tiny)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
 
+def _apply_npz_meta(args) -> None:
+    """Self-configure still-default flags from a single npz ckpt's __meta__.
+
+    Explicit CLI flags win (only parser-default values are replaced); a
+    stored meta that contradicts an explicit flag gets a warning. Prevents
+    the silent-misconfiguration class ADVICE r2 #4 flagged for pipeline.py:
+    a checkpoint trained with --normalize / a non-default keep count decodes
+    garbage when evaluated without them.
+    """
+    if len(args.paths) != 1 or not args.paths[0] or not args.paths[0].endswith(".npz"):
+        return
+    from textmae_tpu.train.checkpoint import load_npz_meta
+
+    meta = load_npz_meta(args.paths[0])
+    if not meta:
+        return
+    updates = {}
+    if "num_keep_patches" in meta and args.num_keep_patches == 144:
+        updates["num_keep_patches"] = int(meta["num_keep_patches"])
+    if "canonical_keep_order" in meta and not args.reference_order:
+        if not bool(meta["canonical_keep_order"]):
+            updates["reference_order"] = True
+    if "normalize" in meta:
+        if bool(meta["normalize"]) and not args.normalize:
+            updates["normalize"] = True
+        elif not bool(meta["normalize"]) and args.normalize:
+            print("warning: --normalize set but checkpoint meta says "
+                  "normalize=False", file=sys.stderr)
+    for k, v in updates.items():
+        print(f"note: {k}={v} from checkpoint meta", file=sys.stderr)
+        setattr(args, k, v)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _apply_npz_meta(args)
 
     import jax
 
@@ -63,10 +105,17 @@ def main(argv=None):
         args.dataset, "test", img_size=args.input_size, normalize=args.normalize
     )
 
+    tiny = dict(
+        encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        latent_depth=24, hyperprior_depth=16, num_slices=4, use_pallas=False,
+    ) if args.debug_tiny else {}
     cfg = MCMConfig(
         img_size=args.input_size,
         num_keep_patches=args.num_keep_patches,
+        canonical_keep_order=not args.reference_order,
         dtype=jnp.bfloat16 if args.half else jnp.float32,
+        **tiny,
     )
     model = MCM(cfg)
 
