@@ -90,6 +90,11 @@ def main():
     p.add_argument("--save", type=str, default=None, help="f16 npz checkpoint path")
     p.add_argument("--debug-tiny", action="store_true",
                    help="tiny model dims (CPU smoke test of the harness only)")
+    p.add_argument("--ckpt-dir", type=str, default=None,
+                   help="checkpoint at every --eval-every mark and AUTO-RESUME "
+                        "from the newest checkpoint here (wedged-tunnel "
+                        "recovery: a watchdog can kill + relaunch losing at "
+                        "most one eval interval)")
     args = p.parse_args()
 
     import jax
@@ -146,6 +151,22 @@ def main():
     state = TrainState.create(variables["params"], tx)
     step = make_train_step(model, tx, lmbda=args.lmbda)
 
+    start_step = 0
+    if args.ckpt_dir:
+        from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+        ckpts = sorted(Path(args.ckpt_dir).glob("step*"),
+                       key=lambda p: int(p.name[4:]))
+        if ckpts:
+            state, cmeta = restore_checkpoint(str(ckpts[-1]), state_template=state)
+            state = jax.device_put(state)
+            start_step = int(cmeta["step"])
+            print(f"resumed from {ckpts[-1]} at step {start_step}", flush=True)
+
+    def save_mid(tag: int):
+        if args.ckpt_dir:
+            save_checkpoint(Path(args.ckpt_dir), f"step{tag}", state, {"step": tag})
+
     # held-out eval inputs: resized-to-224 RGB + canonical full-res gray score
     eval_raw, eval_norm, eval_scores = [], [], []
     for f in eval_files:
@@ -163,14 +184,18 @@ def main():
 
     num_px = 224 * 224
 
-    def eval_holdout(params, tag):
+    def eval_holdout(params, tag, raw_quirk=False):
+        """raw_quirk=True: the reference testing path's exact input handling —
+        UNNORMALIZED pixels into a model trained on normalized ones
+        (dataloader.py:57-73 normalizes train/val but not test)."""
         codec = MCMCodec(model, {"params": params})
         codec.update(force=True)
         per_image = {}
         mean_d = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1))
         std_d = jnp.asarray(IMAGENET_STD.reshape(1, 3, 1, 1))
+        inp = eval_raw_d if raw_quirk else eval_norm_d
         t0 = time.time()
-        streams, ids_restore = codec.compress(eval_norm_d, eval_scores_d)
+        streams, ids_restore = codec.compress(inp, eval_scores_d)
         enc_t = time.time() - t0
         payloads, ids = code_side_info(
             np.asarray(ids_restore), cfg.num_keep_patches, cfg.canonical_keep_order
@@ -178,7 +203,7 @@ def main():
         t0 = time.time()
         x_hat = codec.decompress(streams, ids)
         dec_t = time.time() - t0
-        x_px = x_hat * std_d + mean_d
+        x_px = x_hat if raw_quirk else x_hat * std_d + mean_d
         for i, f in enumerate(eval_files):
             m = compute_metrics(eval_raw_d[i : i + 1], x_px[i : i + 1])
             # reference bpp accounting (testing.py:88-89): bitstream bytes x 8
@@ -201,11 +226,14 @@ def main():
         print(tag, json.dumps({"mean": agg, "per_image": per_image}), flush=True)
         return per_image, agg
 
-    eval_holdout(state.params, "BEFORE:")
-    order = np.random.default_rng(args.seed + 1)
+    if start_step == 0:
+        eval_holdout(state.params, "BEFORE:")
     t0 = time.time()
-    for it in range(args.steps):
-        idx = order.integers(0, args.pool, args.batch)
+    for it in range(start_step, args.steps):
+        # step-keyed sampling: a resumed run draws the same batch sequence
+        idx = np.random.default_rng(args.seed * 1000003 + it).integers(
+            0, args.pool, args.batch
+        )
         b = (crops[idx].astype(np.float32) / 255.0 - mean) / std
         batch = {
             "imgs": jnp.asarray(b.transpose(0, 3, 1, 2)),
@@ -219,11 +247,15 @@ def main():
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
-        if args.eval_every and (it + 1) % args.eval_every == 0 and it + 1 < args.steps:
-            eval_holdout(state.params, f"EVAL@{it + 1}:")
+        if args.eval_every and (it + 1) % args.eval_every == 0:
+            save_mid(it + 1)
+            if it + 1 < args.steps:
+                eval_holdout(state.params, f"EVAL@{it + 1}:")
     train_s = time.time() - t0
     print(f"{args.steps} steps in {train_s:.0f}s", flush=True)
     per_image, agg = eval_holdout(state.params, "AFTER:")
+    per_image_raw, agg_raw = eval_holdout(state.params, "AFTER(raw-quirk):",
+                                          raw_quirk=True)
 
     if args.save:
         from textmae_tpu.train.checkpoint import save_params_npz
@@ -261,6 +293,12 @@ def main():
                         "ids_restore side info) / 224^2 px (testing.py:88-89)",
             "per_image": per_image,
             "mean": agg,
+            "raw_quirk": {
+                "note": "reference testing.py exact input handling: "
+                        "unnormalized test pixels (dataloader.py:57-73)",
+                "per_image": per_image_raw,
+                "mean": agg_raw,
+            },
         }
         Path(args.report).parent.mkdir(parents=True, exist_ok=True)
         Path(args.report).write_text(json.dumps(report, indent=1))

@@ -105,3 +105,42 @@ def test_gang_restart_checkpoint_resume(tmp_path):
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["param_sum"] == results[1]["param_sum"]
     assert (tmp_path / "preempted.marker").exists()
+
+
+@pytest.mark.slow
+def test_gang_restart_tp_resume(tmp_path):
+    """TP-sharded elastic drill (VERDICT r2 Next #8): the same 2-process gang
+    runs the TENSOR-PARALLEL MCM step over a ("data", 2) x ("model", 4) mesh
+    — "data" across processes, "model" over each process's local devices —
+    checkpoints from process-local shards, survives the simulated preemption,
+    and the restarted gang re-pins params AND Adam moments to the TP layout
+    (cli.train --resume semantics). The result JSON proves the post-restart
+    qkv kernel and its mu moment both carry the "model" spec."""
+    gang_worker = Path(__file__).parent / "mp_gang_worker.py"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "textmae_tpu.cli.launch",
+            "--nproc-per-node", "2", "--max-restarts", "1",
+            "--monitor-interval", "0.2",
+            "--", sys.executable, str(gang_worker), str(tmp_path), "tp",
+        ],
+        cwd=str(WORKER.parent.parent),
+        capture_output=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-3000:]
+    assert b"restarting gang" in proc.stderr
+
+    results = [
+        json.loads((tmp_path / f"gang_result_{p}.json").read_text())
+        for p in range(2)
+    ]
+    for res in results:
+        assert res["num_processes"] == 2 and res["global_devices"] == 8
+        assert res["start_step"] == 2  # resumed from the step-2 checkpoint
+        assert len(res["losses"]) == 2 and all(np.isfinite(v) for v in res["losses"])
+        # the TP layout survived the restart on params AND moments
+        assert "model" in res["qkv_param_spec"], res["qkv_param_spec"]
+        assert "model" in res["qkv_mu_spec"], res["qkv_mu_spec"]
+    assert results[0]["losses"] == results[1]["losses"]
+    assert results[0]["param_sum"] == results[1]["param_sum"]

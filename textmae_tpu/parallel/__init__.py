@@ -9,6 +9,7 @@ sharded inputs are already global.
 """
 from textmae_tpu.parallel.mesh import (
     batch_sharding,
+    host_local_value,
     init_distributed,
     make_mesh,
     replicate,
@@ -30,6 +31,7 @@ __all__ = [
     "batch_sharding",
     "shard_batch",
     "replicate",
+    "host_local_value",
     "init_distributed",
     "shard_params",
     "transformer_param_shardings",
