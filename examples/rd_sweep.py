@@ -42,40 +42,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 DEFAULT_HOLDOUT = "kodim20,kodim23"
 
 
-def build_crop_pool(files, pool_size, img_size, seed):
-    """Random crops + canonical scores from full-res images.
-
-    Crops stay uint8 (pool_size x S x S x 3 ~ 450 MB at 3072); batches are
-    normalized on assembly. Scores use the same canonical PIL-gray path as
-    every other producer (data/score_maps.load_gray rationale): gray is
-    taken by PIL "L" conversion of the crop.
-    """
-    from PIL import Image
-
-    from textmae_tpu.data.score_maps import total_score_for_image
-
-    rng = np.random.default_rng(seed)
-    arrs, grays = [], []
-    for f in files:
-        with Image.open(f) as im:
-            im = im.convert("RGB")
-            arrs.append(np.asarray(im, np.uint8))
-            grays.append(np.asarray(im.convert("L"), np.uint8))
-    crops = np.empty((pool_size, img_size, img_size, 3), np.uint8)
-    scores = np.empty((pool_size, 196), np.float32)
-    t0 = time.time()
-    for i in range(pool_size):
-        j = rng.integers(0, len(arrs))
-        a, g = arrs[j], grays[j]
-        y = rng.integers(0, a.shape[0] - img_size + 1)
-        x = rng.integers(0, a.shape[1] - img_size + 1)
-        crops[i] = a[y : y + img_size, x : x + img_size]
-        scores[i] = total_score_for_image(g[y : y + img_size, x : x + img_size])
-        if i % 512 == 0:
-            print(f"pool {i}/{pool_size} ({time.time() - t0:.0f}s)", flush=True)
-    return crops, scores
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--keep", type=int, required=True, help="kept patches: 49/100/144")
@@ -123,7 +89,9 @@ def main():
     print(f"train on {len(train_files)} images, hold out "
           f"{[f.stem for f in eval_files]} from {kodak}", flush=True)
 
-    crops, scores_np = build_crop_pool(train_files, args.pool, 224, args.seed)
+    from textmae_tpu.data.crops import CropPool
+
+    pool = CropPool(train_files, args.pool, 224, seed=args.seed, verbose=True)
     mean = IMAGENET_MEAN.reshape(1, 1, 1, 3).astype(np.float32)
     std = IMAGENET_STD.reshape(1, 1, 1, 3).astype(np.float32)
 
@@ -234,11 +202,8 @@ def main():
         idx = np.random.default_rng(args.seed * 1000003 + it).integers(
             0, args.pool, args.batch
         )
-        b = (crops[idx].astype(np.float32) / 255.0 - mean) / std
-        batch = {
-            "imgs": jnp.asarray(b.transpose(0, 3, 1, 2)),
-            "scores": jnp.asarray(scores_np[idx]),
-        }
+        bi, bs = pool.batch(idx)
+        batch = {"imgs": jnp.asarray(bi), "scores": jnp.asarray(bs)}
         state, m = step(state, batch, rng)
         if it % max(args.steps // 20, 1) == 0:
             print(

@@ -226,3 +226,40 @@ def test_score_producers_agree(tmp_path):
         via_inline = total_score_for_image(np.asarray(im.convert("RGB").convert("L")))
     np.testing.assert_array_equal(via_cli, via_loader)
     np.testing.assert_array_equal(via_cli, via_inline)
+
+
+def test_crop_pool_deterministic_and_normalized():
+    """CropPool: deterministic given seed, uint8 storage, normalized batches,
+    canonical in-range scores (data/crops.py — the rd_sweep training pool)."""
+    from textmae_tpu.data.crops import CropPool
+    from textmae_tpu.data.paths import find_kodak
+
+    files = sorted(find_kodak().glob("*.png"))[:3]
+    a = CropPool(files, pool_size=6, img_size=224, seed=3)
+    b = CropPool(files, pool_size=6, img_size=224, seed=3)
+    assert a.crops.dtype == np.uint8 and a.crops.shape == (6, 224, 224, 3)
+    np.testing.assert_array_equal(a.crops, b.crops)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    assert a.scores.shape == (6, 196)
+    assert a.scores.min() >= 0.0 and a.scores.max() <= 1.0
+
+    idx = np.array([0, 3, 5])
+    imgs, scores = a.batch(idx)
+    assert imgs.shape == (3, 3, 224, 224) and imgs.dtype == np.float32
+    raw, _ = a.batch(idx, normalize=False)
+    assert raw.min() >= 0.0 and raw.max() <= 1.0
+    assert imgs.min() < -0.5  # ImageNet normalization applied
+
+    c = CropPool(files, pool_size=4, img_size=224, seed=4)
+    assert not np.array_equal(a.crops[:4], c.crops)  # seed changes the draw
+
+
+def test_crop_pool_rejects_small_sources(tmp_path):
+    from PIL import Image
+
+    from textmae_tpu.data.crops import CropPool
+
+    f = tmp_path / "small.png"
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(f)
+    with pytest.raises(ValueError, match="smaller"):
+        CropPool([f], pool_size=2, img_size=224)

@@ -74,3 +74,19 @@ def test_tp_dp_train_step_matches_replicated(setup):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(base["loss"]), rtol=5e-4
     )
+
+
+def test_host_local_value_roundtrip():
+    """host_local_value assembles a TP-sharded array from local shards and
+    passes replicated/unsharded arrays straight through (mesh.py)."""
+    from textmae_tpu.parallel.mesh import host_local_value
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    np.testing.assert_array_equal(host_local_value(sharded), x)
+    repl = jax.device_put(x, NamedSharding(mesh, P()))
+    np.testing.assert_array_equal(host_local_value(repl), x)
+    np.testing.assert_array_equal(host_local_value(jax.numpy.asarray(x)), x)

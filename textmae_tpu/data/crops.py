@@ -1,0 +1,87 @@
+"""Random-crop training pools with canonical patch scores.
+
+The reference trains MCM on pre-sized images with PRECOMPUTED score files
+(utils/dataloader.py + generate_scores_file.py); crops would invalidate the
+stored scores, so it never crops. Here the quadtree scorer is cheap enough
+to run per crop on the host, which unlocks crop augmentation: a `CropPool`
+precomputes N random crops (uint8) and their 196-dim scores from full-res
+sources, then serves normalized batches. Used by examples/rd_sweep.py to
+train generalizing models from the 24 Kodak images in the zero-egress
+environment; the same class scales to any image folder.
+
+Scores use the canonical PIL-gray path (see data/score_maps.load_gray
+rationale: cv2-vs-PIL gray rounding flips quadtree keep-sets).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+from textmae_tpu.data.score_maps import total_score_for_image
+
+
+def _load_rgb_gray(path: os.PathLike) -> Tuple[np.ndarray, np.ndarray]:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        return np.asarray(im, np.uint8), np.asarray(im.convert("L"), np.uint8)
+
+
+class CropPool:
+    """Precomputed (crop, score) pool from full-resolution images.
+
+    Crops are stored uint8 (pool_size x S x S x 3); batches normalize on
+    assembly. Deterministic given (files order, seed).
+    """
+
+    def __init__(
+        self,
+        files: Sequence[os.PathLike],
+        pool_size: int,
+        img_size: int = 224,
+        seed: int = 0,
+        verbose: bool = False,
+    ):
+        if not files:
+            raise ValueError("CropPool needs at least one source image")
+        rng = np.random.default_rng(seed)
+        arrs, grays = zip(*(_load_rgb_gray(f) for f in files))
+        for f, a in zip(files, arrs):
+            if a.shape[0] < img_size or a.shape[1] < img_size:
+                raise ValueError(
+                    f"{Path(f).name} is {a.shape[1]}x{a.shape[0]}, smaller "
+                    f"than the {img_size} crop size"
+                )
+        self.img_size = img_size
+        self.crops = np.empty((pool_size, img_size, img_size, 3), np.uint8)
+        self.scores = np.empty((pool_size, 196), np.float32)
+        for i in range(pool_size):
+            j = rng.integers(0, len(arrs))
+            a, g = arrs[j], grays[j]
+            y = rng.integers(0, a.shape[0] - img_size + 1)
+            x = rng.integers(0, a.shape[1] - img_size + 1)
+            self.crops[i] = a[y : y + img_size, x : x + img_size]
+            self.scores[i] = total_score_for_image(
+                g[y : y + img_size, x : x + img_size]
+            )
+            if verbose and i % 512 == 0:
+                print(f"pool {i}/{pool_size}", flush=True)
+
+    def __len__(self) -> int:
+        return len(self.crops)
+
+    def batch(
+        self, idx: np.ndarray, normalize: bool = True
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(imgs CHW float32, scores) for the given pool indices."""
+        b = self.crops[idx].astype(np.float32) / 255.0
+        if normalize:
+            b = (b - IMAGENET_MEAN.reshape(1, 1, 1, 3)) / IMAGENET_STD.reshape(
+                1, 1, 1, 3
+            )
+        return b.transpose(0, 3, 1, 2), self.scores[idx]
