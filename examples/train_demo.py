@@ -43,6 +43,9 @@ def main():
                    help="checkpoint directory: saves at the end / --eval-every marks")
     p.add_argument("--resume", type=str, default=None,
                    help="resume from a checkpoint saved by --save")
+    p.add_argument("--save-npz", type=str, default=None,
+                   help="also write the final params as a f16 npz with "
+                        "__meta__ provenance (the in-repo distribution format)")
     p.add_argument("--eval-raw", action="store_true",
                    help="evaluate on unnormalized images (the reference "
                         "testing.py quirk); default evaluates on the training "
@@ -170,6 +173,20 @@ def main():
     if not (args.eval_every and (start_step + args.steps) % args.eval_every == 0):
         eval_codec(state.params, "AFTER:")
         save(start_step + args.steps)
+    if args.save_npz:
+        from textmae_tpu.train.checkpoint import save_params_npz
+
+        path = save_params_npz(
+            Path(args.save_npz), jax.device_get(state.params),
+            meta={
+                "normalize": not args.eval_raw,
+                "num_keep_patches": cfg.num_keep_patches,
+                "canonical_keep_order": cfg.canonical_keep_order,
+                "lmbda": args.lmbda,
+                "steps": start_step + args.steps,
+            },
+        )
+        print(f"saved npz {path}", flush=True)
 
 
 if __name__ == "__main__":
