@@ -74,6 +74,34 @@ def test_device_chain_decompress_bit_identical(setup):
     )
 
 
+def test_device_encode_compress_bit_identical(setup):
+    """compress(device_encode=True) — the in-jit rANS encoder, no symbol wire
+    — must emit byte-identical y/z streams and the same ids_restore as the
+    host C++ path, and its output must decode on BOTH decoders."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    streams_h, ids_h = codec.compress(imgs, scores)
+    streams_d, ids_d = codec.compress(imgs, scores, device_encode=True)
+    np.testing.assert_array_equal(ids_d, ids_h)
+    for sh, sd in zip(streams_h, streams_d):
+        assert sd.y_string == sh.y_string
+        assert sd.z_string == sh.z_string
+        assert sd.z_shape == sh.z_shape
+    x_host = np.asarray(codec.decompress(streams_d, ids_d, device_chain=False))
+    x_dev = np.asarray(codec.decompress(streams_d, ids_d, device_chain=True))
+    np.testing.assert_array_equal(x_dev, x_host)
+    # constructor/env default routes compress there too
+    codec2 = MCMCodec(model, variables, device_encode=True)
+    codec2.update(force=True)
+    streams2, ids2 = codec2.compress(imgs, scores)
+    np.testing.assert_array_equal(ids2, ids_h)
+    assert all(
+        a.y_string == b.y_string and a.z_string == b.z_string
+        for a, b in zip(streams2, streams_h)
+    )
+
+
 def test_codec_requires_update(setup):
     model, variables, imgs, scores = setup
     codec = MCMCodec(model, variables)

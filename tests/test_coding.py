@@ -288,6 +288,126 @@ def test_device_rans_gaussian_tables(rng):
     np.testing.assert_array_equal(np.asarray(out)[0], symbols)
 
 
+def test_device_rans_encode_matches_host(rng):
+    """The jit device ENCODER emits byte-for-byte the host coders' streams —
+    batched unequal payloads, escapes included (the compress-side counterpart
+    of the device decode chain: symbols never have to visit the host)."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import encode_symbols, finalize_streams
+
+    table, lengths, offsets = _random_tables(rng)
+    n_streams, t = 5, 400
+    all_syms, all_idx, host_streams = [], [], []
+    for _ in range(n_streams):
+        symbols, indexes = _random_payload(
+            rng, table, lengths, offsets, n=t, escape_frac=0.15
+        )
+        enc = RansEncoder()
+        enc.encode_with_indexes(symbols, indexes, table, lengths, offsets)
+        host_streams.append(enc.flush())
+        all_syms.append(symbols)
+        all_idx.append(indexes)
+    words, wcount, hi, lo = jax.jit(encode_symbols)(
+        np.stack(all_syms), np.stack(all_idx), table, lengths, offsets
+    )
+    assert finalize_streams(words, wcount, hi, lo) == host_streams
+
+
+def test_device_rans_encode_escape_extremes():
+    """Large escape magnitudes (up to the documented raw < 2^31 device
+    domain) match the host encoder and round-trip through both decoders."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import (
+        decode_symbols,
+        encode_symbols,
+        finalize_streams,
+        init_states,
+    )
+
+    table = np.array([[0, 30000, 65536, 0]], np.int32)
+    lengths = np.array([3], np.int32)
+    offsets = np.array([-1], np.int32)
+    syms = np.array([[2**29, -(2**29), -1, 0, 5000, -70000, 2, 1]], np.int32)
+    idx = np.zeros_like(syms)
+    enc = RansEncoder()
+    enc.encode_with_indexes(syms[0], idx[0], table, lengths, offsets)
+    host = enc.flush()
+    w, c, hi, lo = jax.jit(encode_symbols)(syms, idx, table, lengths, offsets)
+    (dev,) = finalize_streams(w, c, hi, lo)
+    assert dev == host
+    dec = RansDecoder()
+    dec.set_stream(dev)
+    np.testing.assert_array_equal(
+        dec.decode_stream(idx[0], table, lengths, offsets), syms[0]
+    )
+    words, count, h2, l2, pos = init_states([dev])
+    out, _, _, _ = jax.jit(decode_symbols)(
+        words, count, h2, l2, pos, idx, table, lengths, offsets
+    )
+    np.testing.assert_array_equal(np.asarray(out)[0], syms[0])
+
+
+def test_device_rans_encode_overflow_detected(rng):
+    """A too-small max_words raises instead of shipping a truncated stream
+    (dropped scatter lanes are still counted, so wcount exposes the need)."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import encode_symbols, finalize_streams
+
+    table, lengths, offsets = _random_tables(rng)
+    symbols, indexes = _random_payload(rng, table, lengths, offsets, n=200)
+    w, c, hi, lo = jax.jit(
+        lambda s, i: encode_symbols(s, i, table, lengths, offsets, max_words=2)
+    )(symbols[None], indexes[None])
+    with pytest.raises(ValueError, match="overflow"):
+        finalize_streams(w, c, hi, lo)
+
+
+def test_device_rans_encode_gaussian_roundtrip(rng):
+    """Production Gaussian tables: device encode == host encode byte-for-byte
+    and the streams round-trip through BOTH decoders (the full on-device
+    codec loop the compress/decompress paths rely on)."""
+    import jax
+
+    from textmae_tpu.coding.device_rans import (
+        decode_symbols,
+        encode_symbols,
+        finalize_streams,
+        init_states,
+    )
+
+    gt = build_gaussian_tables(get_scale_table())
+    n, t = 3, 1500
+    indexes = rng.integers(0, len(gt.cdf_length), (n, t)).astype(np.int32)
+    max_bins = gt.cdf_length[indexes] - 2
+    symbols = ((rng.random((n, t)) * (max_bins + 6)) - 3).astype(
+        np.int32
+    ) + gt.offset[indexes]
+    w, c, hi, lo = jax.jit(encode_symbols)(
+        symbols, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
+    )
+    streams = finalize_streams(w, c, hi, lo)
+    for i in range(n):
+        enc = RansEncoder()
+        enc.encode_with_indexes(
+            symbols[i], indexes[i], gt.quantized_cdf, gt.cdf_length, gt.offset
+        )
+        assert enc.flush() == streams[i]
+        dec = RansDecoder()
+        dec.set_stream(streams[i])
+        np.testing.assert_array_equal(
+            dec.decode_stream(indexes[i], gt.quantized_cdf, gt.cdf_length, gt.offset),
+            symbols[i],
+        )
+    words, count, h2, l2, pos = init_states(streams)
+    out, _, _, _ = jax.jit(decode_symbols)(
+        words, count, h2, l2, pos, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
+    )
+    np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
 def test_huffman_roundtrip(rng):
     coder = HuffmanCoder()
     for shape in [(196,), (1, 196), (5, 5)]:

@@ -115,6 +115,7 @@ class MCMCodec:
         variables: Dict,
         num_threads: int = 8,
         device_chain: Optional[bool] = None,
+        device_encode: Optional[bool] = None,
     ):
         """device_chain: decode the y bitstreams INSIDE jit (coding.device_rans)
         so the whole slice chain is one async dispatch chain with a single
@@ -122,12 +123,23 @@ class MCMCodec:
         Host coding stays the default (None/False): on locally-attached chips
         the C++ decoder + cheap round trips win; on remote-attached chips the
         device chain wins (each alternation costs a full tunnel RTT). Env
-        override: TEXTMAE_DEVICE_CHAIN=1."""
+        override: TEXTMAE_DEVICE_CHAIN=1.
+
+        device_encode: the compress-side counterpart — run the rANS ENCODER
+        state machine inside jit too, so symbols/indexes never visit the host
+        and the int8 escape-sidecar wire is skipped entirely; the only D2H is
+        the finished stream words + ids_restore. Streams are byte-identical
+        to the host path (device_rans fuzz contract). Mainly useful when the
+        host CPU is the scarce resource (serving boxes) or the symbol wire
+        dominates the link. Env override: TEXTMAE_DEVICE_ENCODE=1."""
         import os as _os
 
         if device_chain is None:
             device_chain = _os.environ.get("TEXTMAE_DEVICE_CHAIN", "0") == "1"
         self.device_chain = bool(device_chain)
+        if device_encode is None:
+            device_encode = _os.environ.get("TEXTMAE_DEVICE_ENCODE", "0") == "1"
+        self.device_encode = bool(device_encode)
         self.model = model
         # Commit params to device ONCE. Checkpoint restores hand back host
         # numpy arrays; leaving them host-side makes every jitted program in
@@ -211,9 +223,10 @@ class MCMCodec:
         self._finish = jax.jit(
             lambda v, y_hat, ids: model.apply(v, y_hat, ids, method=MCM.decode_finish)
         )
-        from textmae_tpu.coding.device_rans import decode_symbols
+        from textmae_tpu.coding.device_rans import decode_symbols, encode_symbols
 
         self._dev_decode = jax.jit(decode_symbols)
+        self._dev_encode = jax.jit(encode_symbols, static_argnames=("max_words",))
         self._narrow16 = jax.jit(lambda a: a.astype(jnp.int16))
 
         def _pack(syms, idxs, z_sym, ids_restore, overflow):
@@ -359,10 +372,15 @@ class MCMCodec:
         return symbols, indexes, overflow
 
     def compress(
-        self, imgs: jnp.ndarray, total_scores: jnp.ndarray
+        self,
+        imgs: jnp.ndarray,
+        total_scores: jnp.ndarray,
+        device_encode: Optional[bool] = None,
     ) -> Tuple[List[CompressedImage], np.ndarray]:
         """(N,C,H,W) images -> (per-image bitstreams, ids_restore (N, L))."""
         self._require_tables()
+        if self.device_encode if device_encode is None else device_encode:
+            return self._compress_device(imgs, total_scores)
         cfg = self.cfg
         front = self._front(self.variables, imgs, total_scores)
         z_sym_d = front["z_sym"]
@@ -455,6 +473,70 @@ class MCMCodec:
         else:
             streams = [code_one(0)]
         return streams, ids_restore
+
+    def _compress_device(
+        self, imgs: jnp.ndarray, total_scores: jnp.ndarray
+    ) -> Tuple[List[CompressedImage], np.ndarray]:
+        """Compress with the rANS encoder inside jit (coding.device_rans).
+
+        The slice chain's symbols/indexes feed encode_symbols directly on
+        device, so no symbol wire (int8 payload + escape sidecar + packed
+        indexes) ever crosses the link — only the finished stream words,
+        counts, final states, ids_restore, and the divergence flag, fetched
+        in one device_get. Streams are byte-identical to the host encoder's
+        by the device_rans fuzz contract, so either path's output decodes on
+        either decoder.
+
+        Word capacity is sized at ~16 bits/symbol mean (plus slack), far
+        above any sane operating rate; a hypothetical overflow raises (via
+        finalize_streams) rather than emitting a truncated stream.
+        """
+        cfg = self.cfg
+        front = self._front(self.variables, imgs, total_scores)
+        z_sym_d = front["z_sym"]
+        latent_means, latent_scales = self._hyper(self.variables, z_sym_d)
+        syms_d, idxs_d, overflow_d = self._run_slice_chain(
+            front["y"], latent_means, latent_scales
+        )
+
+        n = imgs.shape[0]
+        gt, et = self.gauss_tables, self.eb_tables
+        hz, wz = self._z_shape()
+        cz = cfg.hyperprior_depth
+        t_y = cfg.num_slices * cfg.keep_grid * cfg.keep_grid * cfg.group_ch
+        t_z = hz * wz * cz
+
+        # per-image stream order is slice-major: (S, N, h, w, g) -> (N, S*h*w*g)
+        y_sym = jnp.transpose(syms_d, (1, 0, 2, 3, 4)).reshape(n, t_y)
+        y_idx = jnp.transpose(idxs_d, (1, 0, 2, 3, 4)).reshape(n, t_y)
+        y_out = self._dev_encode(
+            y_sym.astype(jnp.int32), y_idx.astype(jnp.int32),
+            jnp.asarray(gt.quantized_cdf), jnp.asarray(gt.cdf_length),
+            jnp.asarray(gt.offset), max_words=t_y // 2 + 64,
+        )
+        z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)[None].repeat(n, 0)
+        z_out = self._dev_encode(
+            z_sym_d.reshape(n, t_z).astype(jnp.int32), z_idx,
+            jnp.asarray(et.quantized_cdf), jnp.asarray(et.cdf_length),
+            jnp.asarray(et.offset), max_words=t_z // 2 + 64,
+        )
+        y_out, z_out, ids_restore, overflow = jax.device_get(
+            (y_out, z_out, front["ids_restore"], overflow_d)
+        )
+        if int(overflow) > 0:
+            raise OverflowError(
+                "quantized symbols exceeded int16 range — the model has "
+                "numerically diverged; refusing to emit a corrupt stream"
+            )
+        from textmae_tpu.coding.device_rans import finalize_streams
+
+        y_strings = finalize_streams(*y_out)
+        z_strings = finalize_streams(*z_out)
+        streams = [
+            CompressedImage(y_string=y, z_string=z, z_shape=(hz, wz))
+            for y, z in zip(y_strings, z_strings)
+        ]
+        return streams, ids_restore.astype(np.int64)
 
     # ------------------------------------------------------------------
     def decompress(
