@@ -65,6 +65,11 @@ def main():
 
     import jax
 
+    if args.debug_tiny:
+        # harness smoke runs must not touch (or contend for) the real chip;
+        # the axon plugin overrides JAX_PLATFORMS, so force via config
+        jax.config.update("jax_platforms", "cpu")
+
     from textmae_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -197,27 +202,19 @@ def main():
     if start_step == 0:
         eval_holdout(state.params, "BEFORE:")
 
-    # single-producer prefetch: batch assembly (pool gather + normalize +
-    # H2D) for step it+1 overlaps the device's step it — on this 1-CPU box
-    # the host prep is a material fraction of the ~50 ms device step
-    from concurrent.futures import ThreadPoolExecutor
-
-    def make_batch(it: int):
+    # device-resident pool: upload the uint8 crops once and gather/normalize
+    # each batch on device — per-step H2D is just the index vector (a full
+    # float batch is ~4.8 MB, ~240 ms over the remote-attach tunnel, 4x the
+    # train step itself; measured in the round-3 keep-49 run)
+    gather = pool.to_device()
+    t0 = time.time()
+    for it in range(start_step, args.steps):
         # step-keyed sampling: a resumed run draws the same batch sequence
         idx = np.random.default_rng(args.seed * 1000003 + it).integers(
             0, args.pool, args.batch
         )
-        bi, bs = pool.batch(idx)
-        return {"imgs": jnp.asarray(bi), "scores": jnp.asarray(bs)}
-
-    prefetcher = ThreadPoolExecutor(1)
-    fut = prefetcher.submit(make_batch, start_step)
-    t0 = time.time()
-    for it in range(start_step, args.steps):
-        batch = fut.result()
-        if it + 1 < args.steps:
-            fut = prefetcher.submit(make_batch, it + 1)
-        state, m = step(state, batch, rng)
+        bi, bs = gather(jnp.asarray(idx))
+        state, m = step(state, {"imgs": bi, "scores": bs}, rng)
         if it % max(args.steps // 20, 1) == 0:
             print(
                 f"step {it}: loss={float(m['loss']):.4f} bpp={float(m['bpp_loss']):.4f} "

@@ -254,6 +254,24 @@ def test_crop_pool_deterministic_and_normalized():
     assert not np.array_equal(a.crops[:4], c.crops)  # seed changes the draw
 
 
+def test_crop_pool_device_gather_matches_host():
+    """to_device(): the jitted on-device gather assembles the same batches
+    batch() does (to float rounding — XLA folds the divides into reciprocal
+    multiplies) — the device-resident pool that removes the per-step
+    full-batch H2D from rd_sweep training."""
+    from textmae_tpu.data.crops import CropPool
+    from textmae_tpu.data.paths import find_kodak
+
+    files = sorted(find_kodak().glob("*.png"))[:2]
+    pool = CropPool(files, pool_size=5, img_size=224, seed=7)
+    gather = pool.to_device()
+    idx = np.array([4, 0, 2])
+    bi_d, bs_d = gather(idx)
+    bi_h, bs_h = pool.batch(idx)
+    np.testing.assert_allclose(np.asarray(bi_d), bi_h, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bs_d), bs_h)
+
+
 def test_crop_pool_rejects_small_sources(tmp_path):
     from PIL import Image
 

@@ -85,3 +85,31 @@ class CropPool:
                 1, 1, 1, 3
             )
         return b.transpose(0, 3, 1, 2), self.scores[idx]
+
+    def to_device(self, normalize: bool = True):
+        """Upload the uint8 pool to the accelerator ONCE and return a jitted
+        gather: indices -> (imgs (B,C,H,W) f32, scores (B,196)) assembled
+        entirely on device.
+
+        Per-step host->device traffic drops from the full float batch (~4.8 MB
+        at batch 8, ~240 ms over a 20 MB/s remote-attach tunnel — measured to
+        dominate the ~50 ms train step) to the index vector. Matches `batch()`
+        to float rounding (XLA folds the /255 and /std into reciprocal
+        multiplies, so the last ulp can differ from numpy).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        crops = jax.device_put(self.crops)
+        scores = jax.device_put(self.scores)
+        mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 1, 1, 3), jnp.float32)
+        std = jnp.asarray(IMAGENET_STD.reshape(1, 1, 1, 3), jnp.float32)
+
+        @jax.jit
+        def gather(idx):
+            b = crops[idx].astype(jnp.float32) / 255.0
+            if normalize:
+                b = (b - mean) / std
+            return jnp.transpose(b, (0, 3, 1, 2)), scores[idx]
+
+        return gather
