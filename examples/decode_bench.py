@@ -81,6 +81,28 @@ def main():
                                                      device_chain=True), reps=3)
     out["speedup_1img"] = round(out["host_1img_s"] / out["device_1img_s"], 3)
     out["speedup_24img"] = round(out["host_24img_s"] / out["device_24img_s"], 3)
+
+    # compress side: host C++ encode (+ symbol wire) vs in-jit encoder
+    s_h = codec.compress(imgs, scores, device_encode=False)[0]
+    s_d = codec.compress(imgs, scores, device_encode=True)[0]
+    out["enc_byte_identical"] = all(
+        a.y_string == b.y_string and a.z_string == b.z_string
+        for a, b in zip(s_h, s_d)
+    )
+    timed("enc_host_1img_s", lambda: codec.compress(imgs[:1], scores[:1],
+                                                    device_encode=False))
+    timed("enc_device_1img_s", lambda: codec.compress(imgs[:1], scores[:1],
+                                                      device_encode=True))
+    timed("enc_host_24img_s", lambda: codec.compress(imgs, scores,
+                                                     device_encode=False), reps=3)
+    timed("enc_device_24img_s", lambda: codec.compress(imgs, scores,
+                                                       device_encode=True), reps=3)
+    out["enc_speedup_1img"] = round(
+        out["enc_host_1img_s"] / out["enc_device_1img_s"], 3
+    )
+    out["enc_speedup_24img"] = round(
+        out["enc_host_24img_s"] / out["enc_device_24img_s"], 3
+    )
     print(json.dumps(out))
 
 

@@ -100,16 +100,22 @@ class CropPool:
         import jax
         import jax.numpy as jnp
 
+        # The pool MUST be a jit *argument*, not a closure capture: a captured
+        # device array becomes a compile-time constant embedded in the HLO, and
+        # at pool scale (3072 crops = 462 MB) that blows the remote-compile
+        # request past the tunnel's body limit (observed: HTTP 413 on every
+        # resume attempt of the round-3 keep-49 sweep). As an argument it is
+        # uploaded once by device_put and passed by reference per call.
         crops = jax.device_put(self.crops)
         scores = jax.device_put(self.scores)
-        mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 1, 1, 3), jnp.float32)
-        std = jnp.asarray(IMAGENET_STD.reshape(1, 1, 1, 3), jnp.float32)
+        mean = np.float32(IMAGENET_MEAN.reshape(1, 1, 1, 3))
+        std = np.float32(IMAGENET_STD.reshape(1, 1, 1, 3))
 
         @jax.jit
-        def gather(idx):
+        def gather(crops, scores, idx):
             b = crops[idx].astype(jnp.float32) / 255.0
             if normalize:
                 b = (b - mean) / std
             return jnp.transpose(b, (0, 3, 1, 2)), scores[idx]
 
-        return gather
+        return lambda idx: gather(crops, scores, idx)
