@@ -49,6 +49,13 @@ def main():
     t_setup = time.time()
     import jax
 
+    # BENCH_PLATFORM=cpu: harness smoke runs off-chip (e.g. while a training
+    # chain owns the TPU). Must go through jax.config — the axon
+    # sitecustomize's register() overrides the JAX_PLATFORMS env var.
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     from textmae_tpu.utils import enable_compile_cache
 
     # persistent compile cache: repeat bench runs skip the ~4 min of XLA compiles
@@ -318,6 +325,57 @@ def main():
         except Exception as e:
             full_fields["refine_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
 
+    # ---- R-D curve from ALL committed rate points (VERDICT r2 Missing #5):
+    # every checkpoints/*.f16.npz is one (bpp, psnr) point through the real
+    # codec; the headline checkpoint reuses the measured round trip, the
+    # others get one fresh round trip each. BENCH_RD_CURVE=0 skips.
+    rd_fields = {}
+    if not untrained and os.environ.get("BENCH_RD_CURVE", "1") != "0":
+        curve = [
+            {
+                "ckpt": ckpt.name,
+                "bpp": round(bpp, 4),
+                "psnr": round(metrics["psnr"], 3),
+                "ms_ssim": round(metrics["ms-ssim"], 5),
+            }
+        ]
+        try:
+            from textmae_tpu.train.checkpoint import load_npz_meta
+
+            for extra in sorted((Path(__file__).parent / "checkpoints").glob("*.f16.npz")):
+                if extra.resolve() == ckpt.resolve():
+                    continue
+                emeta = load_npz_meta(extra)
+                evars = {"params": load_params_npz(extra)}
+                ecodec = MCMCodec(model, evars, num_threads=16)
+                ecodec.update(force=True)
+                streams_e, ids_restore_e = ecodec.compress(imgs_model, scores)
+                payloads_e, ids_e = code_side_info(
+                    ids_restore_e, cfg.num_keep_patches, cfg.canonical_keep_order
+                )
+                x_hat_e = ecodec.decompress(streams_e, ids_e)
+                m_e = compute_metrics(imgs, to_pixels(x_hat_e))
+                bits_e = [
+                    s.num_bits() + len(p) * 8
+                    for s, p in zip(streams_e, payloads_e)
+                ]
+                curve.append(
+                    {
+                        "ckpt": extra.name,
+                        "bpp": round(float(np.mean(bits_e)) / (224 * 224), 4),
+                        "psnr": round(m_e["psnr"], 3),
+                        "ms_ssim": round(m_e["ms-ssim"], 5),
+                        **(
+                            {"lmbda": float(emeta["lmbda"])}
+                            if "lmbda" in emeta
+                            else {}
+                        ),
+                    }
+                )
+            rd_fields["rd_curve"] = sorted(curve, key=lambda p: p["bpp"])
+        except Exception as e:  # never sink the headline on an extra point
+            rd_fields["rd_curve_note"] = f"partial: {type(e).__name__}: {e}"[:300]
+
     print(
         json.dumps(
             {
@@ -341,6 +399,7 @@ def main():
                 **caption_fields,
                 **refine_fields,
                 **full_fields,
+                **rd_fields,
                 "untrained": untrained,
                 "note": (
                     "untrained weights; bpp/psnr are pipeline sanity values only"
