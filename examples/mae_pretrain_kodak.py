@@ -1,0 +1,146 @@
+"""MAE-pretrain an encoder/decoder on Kodak crops, for MCM initialization.
+
+The reference workflow initializes MCM from an MAE-pretrained checkpoint
+(setup.sh:21-22 downloads mae_visualize_vit_large_ganloss.pth; training.py:163
+loads it — note the shipped code has the actual load_state_dict commented out
+at training.py:175, so the *shipped* reference trains from scratch). That
+checkpoint is not downloadable in this zero-egress environment, so this
+script reproduces the workflow with what IS here: pretrain our flax MAE-base
+(models/mae.py — dims exactly match the MCM towers: 768/12/12 encoder,
+512/8/16 decoder) with random 75%-masking on random crops of the non-holdout
+Kodak images, then hand the npz to examples/rd_sweep.py --mae-init to seed
+the MCM towers (train/checkpoint.py mae_flax_to_mcm + merge_pretrained).
+
+Inputs are ImageNet-normalized — the distribution the downstream MCM trains
+on (utils/dataloader.py:61).
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+HOLDOUT = {"kodim20", "kodim23"}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=60000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--pool", type=int, default=3072)
+    p.add_argument("--mask-ratio", type=float, default=0.75)
+    p.add_argument("--blr", type=float, default=1.5e-4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save", type=str, required=True, help="output npz")
+    p.add_argument("--ckpt-dir", type=str, default=None,
+                   help="periodic checkpoints + auto-resume (wedged-tunnel "
+                        "recovery, same contract as rd_sweep.py)")
+    p.add_argument("--eval-every", type=int, default=10000)
+    p.add_argument("--debug-tiny", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.debug_tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from textmae_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from textmae_tpu.data.crops import CropPool
+    from textmae_tpu.data.paths import find_kodak
+    from textmae_tpu.models import mae as mae_models
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.checkpoint import save_params_npz
+    from textmae_tpu.train.mae_engine import make_mae_pretrain_step
+    from textmae_tpu.train.schedules import (
+        mae_pretrain_optimizer,
+        scaled_lr,
+        warmup_half_cosine,
+    )
+
+    kodak = find_kodak()
+    if kodak is None:
+        raise SystemExit("no Kodak directory found")
+    train_files = [f for f in sorted(kodak.glob("*.png")) if f.stem not in HOLDOUT]
+    print(f"pretraining on {len(train_files)} images from {kodak}", flush=True)
+    pool = CropPool(train_files, args.pool, 224, seed=args.seed, verbose=True)
+
+    if args.debug_tiny:
+        model = mae_models.MaskedAutoencoderViT(
+            mae_models.MAEConfig(
+                embed_dim=32, depth=2, num_heads=2,
+                decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+                use_pallas=False, norm_pix_loss=True,
+            )
+        )
+    else:
+        model = mae_models.mae_vit_base_patch16(norm_pix_loss=True)
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((2, 3, 224, 224), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init({"params": r, "mask": r}, sample, args.mask_ratio)
+    )(rng)["params"]
+
+    # steps-based warmup+half-cosine (main_pretrain.py's epoch schedule with
+    # 1k-step pseudo-epochs)
+    spe = 1000
+    lr = scaled_lr(args.blr, args.batch, 1, 1)
+    schedule = warmup_half_cosine(
+        lr, max(args.steps // (20 * spe), 1), max(args.steps // spe, 1), spe, 0.0
+    )
+    tx = mae_pretrain_optimizer(params, schedule, weight_decay=0.05)
+    state = TrainState.create(params, tx)
+    step = make_mae_pretrain_step(model, tx, mask_ratio=args.mask_ratio)
+
+    start_step = 0
+    if args.ckpt_dir:
+        from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+        ckpts = sorted(Path(args.ckpt_dir).glob("step*"),
+                       key=lambda p: int(p.name[4:]))
+        if ckpts:
+            state, cmeta = restore_checkpoint(str(ckpts[-1]), state_template=state)
+            state = jax.device_put(state)
+            start_step = int(cmeta["step"])
+            print(f"resumed from {ckpts[-1]} at step {start_step}", flush=True)
+
+    gather = pool.to_device()
+    t0 = time.time()
+    for it in range(start_step, args.steps):
+        idx = np.random.default_rng(args.seed * 999983 + it).integers(
+            0, args.pool, args.batch
+        )
+        bi, _ = gather(jnp.asarray(idx))
+        state, m = step(state, bi, rng)
+        if it % max(args.steps // 20, 1) == 0:
+            loss = float(m["loss"])
+            if not np.isfinite(loss):
+                raise SystemExit(f"NaN/inf loss at step {it}, aborting")
+            print(f"step {it}: loss={loss:.4f} ({time.time() - t0:.0f}s)", flush=True)
+        if args.ckpt_dir and args.eval_every and (it + 1) % args.eval_every == 0:
+            save_checkpoint(Path(args.ckpt_dir), f"step{it + 1}", state,
+                            {"step": it + 1})
+    print(f"{args.steps} steps in {time.time() - t0:.0f}s", flush=True)
+
+    path = save_params_npz(
+        Path(args.save), jax.device_get(state.params),
+        meta={
+            "model": "mae_vit_base_patch16" if not args.debug_tiny else "tiny",
+            "mask_ratio": args.mask_ratio,
+            "steps": args.steps,
+            "norm_pix_loss": True,
+            "normalize": True,
+        },
+    )
+    print(f"saved {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,11 @@ def main():
                         "from the newest checkpoint here (wedged-tunnel "
                         "recovery: a watchdog can kill + relaunch losing at "
                         "most one eval interval)")
+    p.add_argument("--mae-init", type=str, default=None,
+                   help="npz of flax-MAE params (examples/mae_pretrain_kodak.py) "
+                        "to seed the MCM encoder/decoder towers — the "
+                        "reference's MAE-init workflow (training.py:163-176, "
+                        "shipped commented-out) reproduced in-framework")
     args = p.parse_args()
 
     import jax
@@ -120,6 +125,20 @@ def main():
             training=False, compute_loss=False,
         )
     )(rng)
+    if args.mae_init:
+        from textmae_tpu.train.checkpoint import (
+            load_params_npz,
+            mae_flax_to_mcm,
+            merge_pretrained,
+        )
+
+        mae_params = load_params_npz(Path(args.mae_init))
+        variables = dict(variables)
+        variables["params"] = merge_pretrained(
+            variables["params"], mae_flax_to_mcm(mae_params)
+        )
+        print(f"initialized MCM towers from {args.mae_init}", flush=True)
+
     tx = configure_optimizers(variables["params"])
     state = TrainState.create(variables["params"], tx)
     step = make_train_step(model, tx, lmbda=args.lmbda)
@@ -260,8 +279,17 @@ def main():
                 "holdout": sorted(holdout),
                 "seed": args.seed,
                 "train_seconds": round(train_s, 1),
-                "init": "from scratch (no MAE-pretrained encoder; "
-                        "setup.sh:21-22 weights not downloadable here)",
+                "init": (
+                    f"MCM towers from MAE-pretrained {args.mae_init} "
+                    "(in-framework reproduction of the reference's "
+                    "training.py:163-176 workflow)"
+                    if args.mae_init
+                    else "from scratch (no MAE-pretrained encoder; "
+                         "setup.sh:21-22 weights not downloadable here; note "
+                         "the shipped reference also trains from scratch — "
+                         "its load_state_dict is commented out, "
+                         "training.py:175)"
+                ),
             },
             "protocol": "holdout eval at 224, real rANS codec, reference bpp "
                         "accounting (bitstream bytes x 8 + permutation-coded "

@@ -227,3 +227,52 @@ def test_flax_to_torch_roundtrip(setup):
     assert missing == set(), f"unexported keys: {missing}"
     for k in sd:
         np.testing.assert_array_equal(exported[k], sd[k], err_msg=k)
+
+
+def test_mae_flax_to_mcm_init(setup):
+    """Flax-MAE pretrain -> MCM tower init (the in-framework analog of the
+    reference's MAE-checkpoint surgery, training.py:163-176): every MAE
+    encoder/decoder param lands on its MCM counterpart; MCM-only modules
+    keep their fresh init."""
+    from textmae_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+    from textmae_tpu.train.checkpoint import mae_flax_to_mcm
+
+    _, params, imgs, _ = setup
+    mae = MaskedAutoencoderViT(MAEConfig(
+        img_size=96,
+        embed_dim=32, depth=2, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        use_pallas=False,
+    ))
+    mae_params = jax.jit(lambda r, x: mae.init(
+        {"params": r, "mask": r}, x, 0.75
+    ))(jax.random.PRNGKey(1), imgs)["params"]
+
+    converted = mae_flax_to_mcm(mae_params)
+    merged = merge_pretrained(params, converted, strict_shapes=True)
+
+    # every converted key exists in the MCM tree and was copied verbatim
+    def leaves(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from leaves(v, f"{prefix}{k}.")
+            else:
+                yield f"{prefix}{k}", v
+
+    merged_flat = dict(leaves(merged))
+    converted_flat = dict(leaves(converted))
+    params_flat = dict(leaves(params))
+    assert set(converted_flat) <= set(merged_flat)
+    # the MAE covers both towers: blocks, norms, embeds, tokens, pred
+    for want in ("encoder_blocks_0.", "encoder_norm.", "encoder_embed.",
+                 "cls_token", "decoder_blocks_0.", "decoder_norm.",
+                 "decoder_embed.", "mask_token", "decoder_pred."):
+        assert any(k.startswith(want) for k in converted_flat), want
+    for k, v in converted_flat.items():
+        np.testing.assert_array_equal(merged_flat[k], np.asarray(v), err_msg=k)
+    # MCM-only modules untouched
+    for k in params_flat:
+        if k.startswith(("g_a.", "g_s.", "h_a.", "entropy_bottleneck.")):
+            np.testing.assert_array_equal(
+                merged_flat[k], np.asarray(params_flat[k]), err_msg=k
+            )

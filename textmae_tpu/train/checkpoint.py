@@ -306,6 +306,28 @@ def merge_pretrained(params: Dict, pretrained: Dict, strict_shapes: bool = True)
     return params
 
 
+def mae_flax_to_mcm(mae_params: Dict) -> Dict:
+    """Flax-MAE params (models/mae.py) -> MCM-shaped param subtree.
+
+    The in-framework analog of the reference's MAE-checkpoint surgery
+    (training.py:163-176): lets a checkpoint pretrained with
+    cli/mae_pretrain.py initialize the MCM encoder/decoder towers. Pure key
+    rename — both models share ops/vit.py blocks and identical dims at
+    base scale (768/12/12 enc, 512/8/16 dec), and both regenerate sincos
+    pos-embeds (nothing to interpolate). Merge with `merge_pretrained`
+    (non-strict: MCM-only modules — g_a/g_s, hyperprior, slice nets —
+    keep their fresh init).
+    """
+    rename = {"patch_embed": "encoder_embed", "norm": "encoder_norm"}
+    out = {}
+    for k, v in mae_params.items():
+        if k.startswith("blocks_"):
+            out["encoder_" + k] = v
+        else:
+            out[rename.get(k, k)] = v
+    return out
+
+
 def _conv_oihw(w: np.ndarray) -> np.ndarray:
     return w.transpose(2, 3, 1, 0)  # torch OIHW -> flax HWIO
 
