@@ -39,6 +39,9 @@ def main():
                    help="periodic checkpoints + auto-resume (wedged-tunnel "
                         "recovery, same contract as rd_sweep.py)")
     p.add_argument("--eval-every", type=int, default=10000)
+    p.add_argument("--flip", action="store_true",
+                   help="random horizontal-flip augmentation (mirror-"
+                        "equivariant scores, data/crops.py)")
     p.add_argument("--debug-tiny", action="store_true")
     args = p.parse_args()
 
@@ -114,10 +117,10 @@ def main():
     gather = pool.to_device()
     t0 = time.time()
     for it in range(start_step, args.steps):
-        idx = np.random.default_rng(args.seed * 999983 + it).integers(
-            0, args.pool, args.batch
-        )
-        bi, _ = gather(jnp.asarray(idx))
+        r = np.random.default_rng(args.seed * 999983 + it)
+        idx = r.integers(0, args.pool, args.batch)
+        flip = jnp.asarray(r.random(args.batch) < 0.5) if args.flip else None
+        bi, _ = gather(jnp.asarray(idx), flip)
         state, m = step(state, bi, rng)
         if it % max(args.steps // 20, 1) == 0:
             loss = float(m["loss"])

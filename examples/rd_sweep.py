@@ -61,6 +61,9 @@ def main():
                         "from the newest checkpoint here (wedged-tunnel "
                         "recovery: a watchdog can kill + relaunch losing at "
                         "most one eval interval)")
+    p.add_argument("--flip", action="store_true",
+                   help="random horizontal-flip augmentation (mirror-"
+                        "equivariant scores, data/crops.py)")
     p.add_argument("--mae-init", type=str, default=None,
                    help="npz of flax-MAE params (examples/mae_pretrain_kodak.py) "
                         "to seed the MCM encoder/decoder towers — the "
@@ -229,10 +232,10 @@ def main():
     t0 = time.time()
     for it in range(start_step, args.steps):
         # step-keyed sampling: a resumed run draws the same batch sequence
-        idx = np.random.default_rng(args.seed * 1000003 + it).integers(
-            0, args.pool, args.batch
-        )
-        bi, bs = gather(jnp.asarray(idx))
+        r = np.random.default_rng(args.seed * 1000003 + it)
+        idx = r.integers(0, args.pool, args.batch)
+        flip = jnp.asarray(r.random(args.batch) < 0.5) if args.flip else None
+        bi, bs = gather(jnp.asarray(idx), flip)
         state, m = step(state, {"imgs": bi, "scores": bs}, rng)
         if it % max(args.steps // 20, 1) == 0:
             print(
@@ -278,6 +281,7 @@ def main():
                 "train_images": [f.stem for f in train_files],
                 "holdout": sorted(holdout),
                 "seed": args.seed,
+                "flip_augmentation": bool(args.flip),
                 "train_seconds": round(train_s, 1),
                 "init": (
                     f"MCM towers from MAE-pretrained {args.mae_init} "

@@ -61,7 +61,7 @@ if [ ! -f /tmp/mae_kodak.f16.npz ]; then
     [ -f /tmp/mae_kodak.f16.npz ] && break
     echo "=== mae pretrain attempt $attempt $(date)" | tee -a /tmp/mae_pretrain.log
     timeout 5400 python examples/mae_pretrain_kodak.py --steps "$MAE_STEPS" \
-      --ckpt-dir /tmp/mae_ckpt --save /tmp/mae_kodak.f16.npz \
+      --flip --ckpt-dir /tmp/mae_ckpt --save /tmp/mae_kodak.f16.npz \
       >> /tmp/mae_pretrain.log 2>&1
     echo "rc=$?" >> /tmp/mae_pretrain.log
     sleep 20
@@ -72,7 +72,7 @@ if [ -f /tmp/mae_kodak.f16.npz ] && [ ! -f reports/rd_keep49_maeinit.json ]; the
     [ -f reports/rd_keep49_maeinit.json ] && break
     echo "=== maeinit sweep attempt $attempt $(date)" | tee -a /tmp/rd_maeinit.log
     timeout 5400 python examples/rd_sweep.py --keep 49 --lmbda 1.0 \
-      --steps 40000 --mae-init /tmp/mae_kodak.f16.npz \
+      --steps 40000 --flip --mae-init /tmp/mae_kodak.f16.npz \
       --ckpt-dir /tmp/rd_ckpt_maeinit --report reports/rd_keep49_maeinit.json \
       --save /tmp/rd_keep49_maeinit.f16.npz >> /tmp/rd_maeinit.log 2>&1
     echo "rc=$?" >> /tmp/rd_maeinit.log

@@ -281,3 +281,49 @@ def test_crop_pool_rejects_small_sources(tmp_path):
     Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(f)
     with pytest.raises(ValueError, match="smaller"):
         CropPool([f], pool_size=2, img_size=224)
+
+
+def test_crop_pool_flip_augmentation():
+    """Horizontal-flip augmentation: flipped gathers mirror the image on W and
+    the score map on the patch-grid x axis; the mirrored scores agree with
+    re-scoring the actually-flipped crop (mirror-equivariance of the quadtree/
+    Laplacian scorer, data/crops.py)."""
+    import jax.numpy as jnp
+
+    from textmae_tpu.data.crops import CropPool
+    from textmae_tpu.data.paths import find_kodak
+    from textmae_tpu.data.score_maps import total_score_for_image
+    from PIL import Image
+
+    files = sorted(find_kodak().glob("*.png"))[:2]
+    pool = CropPool(files, pool_size=4, img_size=224, seed=11)
+    gather = pool.to_device()
+    idx = np.array([1, 2])
+
+    # no flip bits -> identical to the plain gather
+    bi0, bs0 = gather(idx)
+    bi_n, bs_n = gather(idx, jnp.zeros(2, bool))
+    np.testing.assert_array_equal(np.asarray(bi0), np.asarray(bi_n))
+    np.testing.assert_array_equal(np.asarray(bs0), np.asarray(bs_n))
+
+    bi_f, bs_f = gather(idx, jnp.array([True, False]))
+    # sample 1 unflipped in both
+    np.testing.assert_array_equal(np.asarray(bi_f[1]), np.asarray(bi0[1]))
+    np.testing.assert_array_equal(np.asarray(bs_f[1]), np.asarray(bs0[1]))
+    # sample 0: image mirrored on W (axis -1 of CHW), scores mirrored on x
+    np.testing.assert_array_equal(
+        np.asarray(bi_f[0]), np.asarray(bi0[0])[..., ::-1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bs_f[0]),
+        np.asarray(bs0[0]).reshape(14, 14)[:, ::-1].reshape(-1),
+    )
+    # mirrored scores == scoring the flipped crop itself (up to summation-
+    # order float noise flipping a rare quantile tie: allow tiny tolerance)
+    crop = pool.crops[idx[0]]
+    gray_f = np.asarray(
+        Image.fromarray(crop[:, ::-1]).convert("L"), np.uint8
+    )
+    rescored = total_score_for_image(gray_f)
+    match = np.isclose(np.asarray(bs_f[0]), rescored, atol=1e-6).mean()
+    assert match > 0.95, f"only {match:.2%} of mirrored scores match re-scoring"

@@ -112,10 +112,26 @@ class CropPool:
         std = np.float32(IMAGENET_STD.reshape(1, 1, 1, 3))
 
         @jax.jit
-        def gather(crops, scores, idx):
+        def gather(crops, scores, idx, flip):
             b = crops[idx].astype(jnp.float32) / 255.0
             if normalize:
                 b = (b - mean) / std
-            return jnp.transpose(b, (0, 3, 1, 2)), scores[idx]
+            s = scores[idx]
+            # horizontal flip augmentation: the quadtree splits, Laplacian
+            # magnitude, merge thresholds and 16x16 patch pooling are all
+            # mirror-equivariant, so the flipped crop's score map is the
+            # mirrored 14x14 score grid (up to float-summation-order ulps) —
+            # no host re-scoring needed
+            g = int(np.sqrt(s.shape[-1]).round())
+            s_f = jnp.flip(s.reshape(-1, g, g), axis=2).reshape(s.shape)
+            fl = flip[:, None, None, None]
+            b = jnp.where(fl, jnp.flip(b, axis=2), b)
+            s = jnp.where(flip[:, None], s_f, s)
+            return jnp.transpose(b, (0, 3, 1, 2)), s
 
-        return lambda idx: gather(crops, scores, idx)
+        def call(idx, flip=None):
+            if flip is None:
+                flip = jnp.zeros(idx.shape, bool)
+            return gather(crops, scores, idx, flip)
+
+        return call
