@@ -318,3 +318,31 @@ def test_service_normalize_mode(setup):
     assert isinstance(out, bytes)  # valid de-normalized PNG
     with Image.open(io.BytesIO(out)) as im:
         assert im.size == (96, 96)
+
+
+def test_service_device_codec_matches_host(setup, service):
+    """--device-codec serving: in-jit rANS encode + decode chain produce the
+    same wire bytes and the same reconstruction as the host-coded service
+    (cli/serve.py device_codec passthrough to MCMCodec)."""
+    from textmae_tpu.cli.serve import CodecService
+
+    model, variables, _, _ = setup
+    dev = CodecService(
+        model, variables, max_batch=2, batch_window_ms=20.0,
+        warmup=False, device_codec=True,
+    )
+    r = np.random.default_rng(9)
+    png = _png_bytes(r.random((96, 96, 3)).astype(np.float32))
+
+    blob_host = service.compress(png)
+    blob_dev = dev.compress(png)
+    s_h, side_h, _ = container.unpack_image(blob_host)
+    s_d, side_d, _ = container.unpack_image(blob_dev)
+    assert s_h.y_string == s_d.y_string
+    assert s_h.z_string == s_d.z_string
+    assert side_h == side_d
+
+    out_h = service.decompress(blob_host)
+    out_d = dev.decompress(blob_host)  # decode the host blob on device
+    with Image.open(io.BytesIO(out_h)) as a, Image.open(io.BytesIO(out_d)) as b:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reconstructions; use for checkpoints trained on the "
                         "normalized train/val distribution (the reference's "
                         "test path skips this — a train/test mismatch)")
+    p.add_argument("--device-codec", action="store_true",
+                   help="run the rANS encoder AND decode chain inside jit "
+                        "(coding/device_rans.py): no host symbol wire, no "
+                        "per-slice host alternations — frees the serving "
+                        "host's CPU for request handling (streams stay "
+                        "byte-identical to the host coders)")
     return p
 
 
@@ -71,13 +77,18 @@ class CodecService:
         batch_window_ms: float = 5.0,
         warmup: bool = True,
         normalize: bool = False,
+        device_codec: bool = False,
     ):
         from textmae_tpu.eval import MCMCodec
 
         self.model = model
         self.cfg = model.config
         self.normalize = normalize
-        self.codec = MCMCodec(model, variables)
+        self.codec = MCMCodec(
+            model, variables,
+            device_chain=True if device_codec else None,
+            device_encode=True if device_codec else None,
+        )
         self.codec.update(force=True)
         self.max_batch = max_batch
         self.window = batch_window_ms / 1000.0
@@ -370,6 +381,7 @@ def main(argv=None):
     service = CodecService(
         model, variables, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, normalize=args.normalize,
+        device_codec=args.device_codec,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving MCM codec on http://{args.host}:{args.port} "
