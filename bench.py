@@ -342,19 +342,39 @@ def main():
         try:
             from textmae_tpu.train.checkpoint import load_npz_meta
 
+            import dataclasses
+
             for extra in sorted((Path(__file__).parent / "checkpoints").glob("*.f16.npz")):
                 if extra.resolve() == ckpt.resolve():
                     continue
                 emeta = load_npz_meta(extra)
+                # self-configure from the checkpoint's provenance meta: a rate
+                # point trained at a different keep/order/normalize must not be
+                # silently evaluated under the headline config (that would put
+                # a wrong (bpp, psnr) point on the published curve)
+                ecfg_kw = {}
+                if "num_keep_patches" in emeta:
+                    ecfg_kw["num_keep_patches"] = int(emeta["num_keep_patches"])
+                if "canonical_keep_order" in emeta:
+                    ecfg_kw["canonical_keep_order"] = bool(
+                        emeta["canonical_keep_order"]
+                    )
+                ecfg = dataclasses.replace(cfg, **ecfg_kw) if ecfg_kw else cfg
+                emodel = MCM(ecfg) if ecfg_kw else model
+                # missing meta (old files) -> assume the headline distribution
+                if bool(emeta.get("normalize", not untrained)):
+                    eimgs_model, eto_pixels = imgs_model, to_pixels
+                else:
+                    eimgs_model, eto_pixels = imgs, (lambda x: x)
                 evars = {"params": load_params_npz(extra)}
-                ecodec = MCMCodec(model, evars, num_threads=16)
+                ecodec = MCMCodec(emodel, evars, num_threads=16)
                 ecodec.update(force=True)
-                streams_e, ids_restore_e = ecodec.compress(imgs_model, scores)
+                streams_e, ids_restore_e = ecodec.compress(eimgs_model, scores)
                 payloads_e, ids_e = code_side_info(
-                    ids_restore_e, cfg.num_keep_patches, cfg.canonical_keep_order
+                    ids_restore_e, ecfg.num_keep_patches, ecfg.canonical_keep_order
                 )
                 x_hat_e = ecodec.decompress(streams_e, ids_e)
-                m_e = compute_metrics(imgs, to_pixels(x_hat_e))
+                m_e = compute_metrics(imgs, eto_pixels(x_hat_e))
                 bits_e = [
                     s.num_bits() + len(p) * 8
                     for s, p in zip(streams_e, payloads_e)

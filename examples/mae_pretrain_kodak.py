@@ -106,7 +106,10 @@ def main():
     if args.ckpt_dir:
         from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
-        ckpts = sorted(Path(args.ckpt_dir).glob("step*"),
+        # a timeout-kill mid-save leaves stepN.orbax-checkpoint-tmp dirs;
+        # only completed (all-digit) checkpoints are resumable
+        ckpts = sorted((p for p in Path(args.ckpt_dir).glob("step*")
+                        if p.name[4:].isdigit()),
                        key=lambda p: int(p.name[4:]))
         if ckpts:
             state, cmeta = restore_checkpoint(str(ckpts[-1]), state_template=state)

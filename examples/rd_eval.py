@@ -68,6 +68,11 @@ def main():
 
     meta = load_npz_meta(Path(args.ckpt))
     params = load_params_npz(Path(args.ckpt))
+    holdout = (set(str(meta["holdout"]).split(",")) if "holdout" in meta
+               else HOLDOUT)
+    if "holdout" not in meta and args.set != "all":
+        print(f"note: no holdout split in npz meta; assuming {sorted(HOLDOUT)} "
+              "(pre-meta sweep checkpoints used exactly this split)", flush=True)
     keep = int(meta.get("num_keep_patches", 144))
     canonical = bool(meta.get("canonical_keep_order", True))
     normalize = bool(meta.get("normalize", False))
@@ -84,9 +89,9 @@ def main():
         want = {s.strip() for s in args.images.split(",")}
         files = [f for f in files if f.stem in want]
     elif args.set == "holdout":
-        files = [f for f in files if f.stem in HOLDOUT]
+        files = [f for f in files if f.stem in holdout]
     elif args.set == "train":
-        files = [f for f in files if f.stem not in HOLDOUT]
+        files = [f for f in files if f.stem not in holdout]
     if not files:
         raise SystemExit("no images selected")
 

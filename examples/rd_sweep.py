@@ -150,7 +150,10 @@ def main():
     if args.ckpt_dir:
         from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
-        ckpts = sorted(Path(args.ckpt_dir).glob("step*"),
+        # a timeout-kill mid-save leaves stepN.orbax-checkpoint-tmp dirs;
+        # only completed (all-digit) checkpoints are resumable
+        ckpts = sorted((p for p in Path(args.ckpt_dir).glob("step*")
+                        if p.name[4:].isdigit()),
                        key=lambda p: int(p.name[4:]))
         if ckpts:
             state, cmeta = restore_checkpoint(str(ckpts[-1]), state_template=state)
@@ -265,6 +268,9 @@ def main():
                 "canonical_keep_order": False,
                 "lmbda": args.lmbda,
                 "steps": args.steps,
+                # so rd_eval --set train/holdout labels by THIS run's split,
+                # not its hardcoded default
+                "holdout": ",".join(sorted(holdout)),
             },
         )
         print(f"saved {path}", flush=True)

@@ -99,11 +99,18 @@ def test_apply_npz_meta(tmp_path):
     assert args.reference_order is True
     assert args.normalize is True
 
-    # explicit non-default flag wins over meta
+    # explicit non-default flag wins over meta (and warns on contradiction)
     args = eval_cli_parser().parse_args(
         ["-d", "x", "-p", str(path), "--num-keep-patches", "100"])
     _apply_npz_meta(args)
     assert args.num_keep_patches == 100
+
+    # an explicit 144 is NOT the 'unset' sentinel: meta keep=49 must not
+    # silently replace it (pre-fix it did, because 144 was the parser default)
+    args = eval_cli_parser().parse_args(
+        ["-d", "x", "-p", str(path), "--num-keep-patches", "144"])
+    _apply_npz_meta(args)
+    assert args.num_keep_patches == 144
 
     # multi-checkpoint / non-npz runs are untouched
     args = eval_cli_parser().parse_args(["-d", "x", "-p", str(path), "other.npz"])

@@ -21,7 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--path", dest="paths", type=str, nargs="+", default=[None],
                    help="checkpoint path(s); omit to evaluate a fresh model")
     p.add_argument("--input-size", type=int, default=224)
-    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--num-keep-patches", type=int, default=None,
+                   help="default: checkpoint meta, else 144 "
+                        "(None sentinel so an explicit 144 is distinguishable "
+                        "from 'unset' when a meta contradicts it)")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--pipeline", type=int, default=1,
                    help="overlap this many batches' round trips (throughput mode)")
@@ -63,19 +66,27 @@ def _apply_npz_meta(args) -> None:
     a checkpoint trained with --normalize / a non-default keep count decodes
     garbage when evaluated without them.
     """
-    if len(args.paths) != 1 or not args.paths[0] or not args.paths[0].endswith(".npz"):
-        return
-    from textmae_tpu.train.checkpoint import load_npz_meta
+    meta = {}
+    if len(args.paths) == 1 and args.paths[0] and args.paths[0].endswith(".npz"):
+        from textmae_tpu.train.checkpoint import load_npz_meta
 
-    meta = load_npz_meta(args.paths[0])
-    if not meta:
-        return
+        meta = load_npz_meta(args.paths[0])
     updates = {}
-    if "num_keep_patches" in meta and args.num_keep_patches == 144:
-        updates["num_keep_patches"] = int(meta["num_keep_patches"])
-    if "canonical_keep_order" in meta and not args.reference_order:
-        if not bool(meta["canonical_keep_order"]):
+    if "num_keep_patches" in meta:
+        mk = int(meta["num_keep_patches"])
+        if args.num_keep_patches is None:
+            updates["num_keep_patches"] = mk
+        elif args.num_keep_patches != mk:
+            print(f"warning: --num-keep-patches {args.num_keep_patches} "
+                  f"contradicts checkpoint meta num_keep_patches={mk}",
+                  file=sys.stderr)
+    if "canonical_keep_order" in meta:
+        mc = bool(meta["canonical_keep_order"])
+        if not mc and not args.reference_order:
             updates["reference_order"] = True
+        elif mc and args.reference_order:
+            print("warning: --reference-order set but checkpoint meta says "
+                  "canonical_keep_order=True", file=sys.stderr)
     if "normalize" in meta:
         if bool(meta["normalize"]) and not args.normalize:
             updates["normalize"] = True
@@ -85,6 +96,8 @@ def _apply_npz_meta(args) -> None:
     for k, v in updates.items():
         print(f"note: {k}={v} from checkpoint meta", file=sys.stderr)
         setattr(args, k, v)
+    if args.num_keep_patches is None:
+        args.num_keep_patches = 144
 
 
 def main(argv=None):

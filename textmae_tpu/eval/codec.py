@@ -227,7 +227,6 @@ class MCMCodec:
 
         self._dev_decode = jax.jit(decode_symbols)
         self._dev_encode = jax.jit(encode_symbols, static_argnames=("max_words",))
-        self._narrow16 = jax.jit(lambda a: a.astype(jnp.int16))
 
         def _pack(syms, idxs, z_sym, ids_restore, overflow):
             # single D2H buffer with an int8 symbol payload — quantized
@@ -290,11 +289,18 @@ class MCMCodec:
             return jnp.concatenate([b, idxs.reshape(-1)])
 
         self._pack_wide = jax.jit(_pack_wide)
-        # canonical-dtype widening for the int8 H2D wire: the downstream
-        # per-slice programs must see the SAME input dtypes in compress and
-        # decompress (bit-identity), so the wire narrows/widens around them
-        self._widen16 = jax.jit(lambda a: a.astype(jnp.int16))
+        # canonical int16 cast, used both to widen the int8 H2D wire and to
+        # narrow device-rANS int32 output: the downstream per-slice programs
+        # must see the SAME input dtypes in compress and decompress
+        # (bit-identity), so everything converges on this one jitted cast
+        self._as_int16 = jax.jit(lambda a: a.astype(jnp.int16))
         self._widen32 = jax.jit(lambda a: a.astype(jnp.int32))
+        # device-resident CDF tables for the in-jit rANS paths, uploaded once
+        # lazily (serving calls compress/decompress per request; re-uploading
+        # the static tables each call is exactly the per-call host<->device
+        # traffic the device codec exists to remove)
+        self._dev_gauss = None
+        self._dev_eb = None
 
     # ------------------------------------------------------------------
     def update(self, force: bool = False) -> None:
@@ -305,6 +311,24 @@ class MCMCodec:
         self.eb_tables = build_eb_tables(
             self.variables["params"]["entropy_bottleneck"]
         )
+        self._dev_gauss = None  # re-upload lazily if the tables changed
+        self._dev_eb = None
+
+    def _device_tables(self):
+        """Device copies of the quantized CDF tables, uploaded once."""
+        if self._dev_gauss is None:
+            gt, et = self.gauss_tables, self.eb_tables
+            self._dev_gauss = (
+                jnp.asarray(gt.quantized_cdf),
+                jnp.asarray(gt.cdf_length),
+                jnp.asarray(gt.offset),
+            )
+            self._dev_eb = (
+                jnp.asarray(et.quantized_cdf),
+                jnp.asarray(et.cdf_length),
+                jnp.asarray(et.offset),
+            )
+        return self._dev_gauss, self._dev_eb
 
     def _idx_to_host(self, index: jnp.ndarray) -> np.ndarray:
         """Device scale indexes -> host uint8 array over the 6-bit wire."""
@@ -509,16 +533,15 @@ class MCMCodec:
         # per-image stream order is slice-major: (S, N, h, w, g) -> (N, S*h*w*g)
         y_sym = jnp.transpose(syms_d, (1, 0, 2, 3, 4)).reshape(n, t_y)
         y_idx = jnp.transpose(idxs_d, (1, 0, 2, 3, 4)).reshape(n, t_y)
+        (gtc, gtl, gto), (etc, etl, eto) = self._device_tables()
         y_out = self._dev_encode(
             y_sym.astype(jnp.int32), y_idx.astype(jnp.int32),
-            jnp.asarray(gt.quantized_cdf), jnp.asarray(gt.cdf_length),
-            jnp.asarray(gt.offset), max_words=t_y // 2 + 64,
+            gtc, gtl, gto, max_words=t_y // 2 + 64,
         )
         z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)[None].repeat(n, 0)
         z_out = self._dev_encode(
             z_sym_d.reshape(n, t_z).astype(jnp.int32), z_idx,
-            jnp.asarray(et.quantized_cdf), jnp.asarray(et.cdf_length),
-            jnp.asarray(et.offset), max_words=t_z // 2 + 64,
+            etc, etl, eto, max_words=t_z // 2 + 64,
         )
         y_out, z_out, ids_restore, overflow = jax.device_get(
             (y_out, z_out, front["ids_restore"], overflow_d)
@@ -587,7 +610,7 @@ class MCMCodec:
                 sym[j] = d.decode_stream(
                     index_np[j], gt.quantized_cdf, gt.cdf_length, gt.offset
                 ).reshape(grid, grid, g)
-            return self._h2d_sym(sym, self._widen16)
+            return self._h2d_sym(sym, self._as_int16)
 
         head = cfg.max_support
         # head: sequential context chain with host decode between slices
@@ -617,7 +640,7 @@ class MCMCodec:
                 sym_t[t, j] = d.decode_stream(
                     index_np[t, j], gt.quantized_cdf, gt.cdf_length, gt.offset
                 ).reshape(grid, grid, g)
-        y_tail = self._tail_update(v, ms_t, mu_t, self._h2d_sym(sym_t, self._widen16))
+        y_tail = self._tail_update(v, ms_t, mu_t, self._h2d_sym(sym_t, self._as_int16))
         y_slices.extend(y_tail[t] for t in range(tail))
 
         y_hat = jnp.concatenate(y_slices, axis=-1)
@@ -661,9 +684,7 @@ class MCMCodec:
         words, count, hi, lo, pos = (
             jnp.asarray(a) for a in init_states([s.y_string for s in streams])
         )
-        gtc = jnp.asarray(gt.quantized_cdf)
-        gtl = jnp.asarray(gt.cdf_length)
-        gto = jnp.asarray(gt.offset)
+        (gtc, gtl, gto), _ = self._device_tables()
         g = cfg.group_ch
         grid = cfg.keep_grid
         v = self.variables
@@ -675,7 +696,7 @@ class MCMCodec:
             out, hi, lo, pos = self._dev_decode(
                 words, count, hi, lo, pos, index.reshape(n, -1), gtc, gtl, gto
             )
-            return self._narrow16(out).reshape(n, grid, grid, g)
+            return self._as_int16(out).reshape(n, grid, grid, g)
 
         head = cfg.max_support
         mu, index, ms = self._slice_params(
@@ -703,7 +724,7 @@ class MCMCodec:
             words, count, hi, lo, pos, idx_flat, gtc, gtl, gto
         )
         sym_t = jnp.transpose(
-            self._narrow16(out).reshape(n, tail, grid, grid, g), (1, 0, 2, 3, 4)
+            self._as_int16(out).reshape(n, tail, grid, grid, g), (1, 0, 2, 3, 4)
         )
         y_tail = self._tail_update(v, ms_t, mu_t, sym_t)
         y_slices.extend(y_tail[t] for t in range(tail))
