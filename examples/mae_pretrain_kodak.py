@@ -104,18 +104,15 @@ def main():
 
     start_step = 0
     if args.ckpt_dir:
-        from textmae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+        from textmae_tpu.train.checkpoint import (
+            latest_step_checkpoint, restore_checkpoint, save_checkpoint)
 
-        # a timeout-kill mid-save leaves stepN.orbax-checkpoint-tmp dirs;
-        # only completed (all-digit) checkpoints are resumable
-        ckpts = sorted((p for p in Path(args.ckpt_dir).glob("step*")
-                        if p.name[4:].isdigit()),
-                       key=lambda p: int(p.name[4:]))
-        if ckpts:
-            state, cmeta = restore_checkpoint(str(ckpts[-1]), state_template=state)
+        newest = latest_step_checkpoint(args.ckpt_dir)
+        if newest is not None:
+            state, cmeta = restore_checkpoint(str(newest), state_template=state)
             state = jax.device_put(state)
             start_step = int(cmeta["step"])
-            print(f"resumed from {ckpts[-1]} at step {start_step}", flush=True)
+            print(f"resumed from {newest} at step {start_step}", flush=True)
 
     gather = pool.to_device()
     t0 = time.time()

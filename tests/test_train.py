@@ -135,6 +135,28 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     )
 
 
+def test_latest_step_checkpoint_skips_orbax_tmp(tmp_path):
+    """Unattended auto-resume contract: a kill mid-save leaves a
+    ``stepN.orbax-checkpoint-tmp`` staging dir; selecting it (or crashing on
+    its non-numeric suffix) wedges every retry of a training chain."""
+    from textmae_tpu.train.checkpoint import latest_step_checkpoint
+
+    assert latest_step_checkpoint(tmp_path / "missing") is None
+    assert latest_step_checkpoint(tmp_path) is None
+    (tmp_path / "step1000").mkdir()
+    (tmp_path / "step2000").mkdir()
+    (tmp_path / "step3000.orbax-checkpoint-tmp").mkdir()  # interrupted save
+    (tmp_path / "step_notes.txt").write_text("x")  # stray file
+    got = latest_step_checkpoint(tmp_path)
+    assert got is not None and got.name == "step2000"
+    # numeric sort, not lexicographic
+    (tmp_path / "step10000").mkdir()
+    assert latest_step_checkpoint(tmp_path).name == "step10000"
+    # custom prefix (train_demo's demo_stepN layout)
+    (tmp_path / "demo_step5").mkdir()
+    assert latest_step_checkpoint(tmp_path, prefix="demo_step").name == "demo_step5"
+
+
 def test_best_tracker(tiny_setup, tmp_path):
     _, params, _, _ = tiny_setup
     tx = configure_optimizers(params)

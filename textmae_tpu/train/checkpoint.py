@@ -61,6 +61,24 @@ def save_checkpoint(directory: os.PathLike, name: str, state, meta: Dict) -> Opt
     return path
 
 
+def latest_step_checkpoint(
+    directory: os.PathLike, prefix: str = "step"
+) -> Optional[Path]:
+    """Newest completed ``{prefix}{N}`` checkpoint dir under ``directory``.
+
+    Resumable checkpoints are exactly the all-digit-suffix dirs: a kill during
+    save_checkpoint leaves Orbax's ``{prefix}{N}.orbax-checkpoint-tmp`` staging
+    dir behind, which must never be selected (restore would fail and wedge an
+    unattended retry loop on every attempt).
+    """
+    directory = Path(directory)
+    if not directory.is_dir():
+        return None
+    done = [p for p in directory.glob(f"{prefix}*")
+            if p.is_dir() and p.name[len(prefix):].isdigit()]
+    return max(done, key=lambda p: int(p.name[len(prefix):]), default=None)
+
+
 def restore_checkpoint(path: os.PathLike, state_template=None) -> Tuple[Any, Dict]:
     """Restore (state, meta); with a template the state keeps its pytree types."""
     import flax.serialization
