@@ -221,3 +221,145 @@ def test_dp_x_pp_pretrain_step_matches_sequential():
         lambda a, b: float(jnp.abs(a - b).max()), s_seq.params, s_pp.params
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# PP x TP (x DP): tensor parallelism inside each pipeline stage
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "axes,micro",
+    [
+        ({"pipe": 2, "model": 2}, 4),
+        ({"pipe": 4, "model": 2}, 4),
+        ({"data": 2, "pipe": 2, "model": 2}, 2),
+    ],
+)
+def test_pp_x_tp_matches_sequential(setup, axes, micro):
+    block, params, x, y_ref = setup
+    ndev = int(np.prod(list(axes.values())))
+    mesh = make_mesh(axes, devices=jax.devices()[:ndev])
+    y = pipelined_stack_apply(
+        block, params, x, mesh, depth=DEPTH, num_microbatches=micro,
+        batch_axis="data" if "data" in axes else None, tp_axis="model",
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+
+def test_pp_x_tp_gradients_match_sequential(setup):
+    block, params, x, _ = setup
+    mesh = make_mesh({"pipe": 2, "model": 2}, devices=jax.devices()[:4])
+
+    def loss_tp(p):
+        return pipelined_stack_apply(
+            block, p, x, mesh, depth=DEPTH, num_microbatches=4,
+            tp_axis="model", shard=False,
+        ).sum()
+
+    def loss_seq(p):
+        h = x
+        for i in range(DEPTH):
+            h = block.apply({"params": p[f"blocks_{i}"]}, h)
+        return h.sum()
+
+    g_tp = jax.jit(jax.grad(loss_tp))(params)
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
+    scale = max(
+        jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).max()), g_seq))
+    )
+    diff = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_tp, g_seq)
+        )
+    )
+    assert diff <= 1e-5 * scale + 1e-5, (diff, scale)
+
+
+def test_pp_x_tp_param_memory_is_sharded(setup):
+    """Each device must hold depth/P layers AND 1/T of the wide matrices."""
+    from textmae_tpu.parallel.pipeline import (
+        _tp_reshape_stacked,
+        _tp_stacked_specs,
+        _tp_unreshape_stacked,
+    )
+    from jax.sharding import NamedSharding
+
+    _, params, _, _ = setup
+    mesh = make_mesh({"pipe": 2, "model": 2}, devices=jax.devices()[:4])
+    stacked = stack_layer_params(params, DEPTH)
+    reshaped = _tp_reshape_stacked(stacked, HEADS)
+    specs = _tp_stacked_specs(reshaped, "pipe", "model")
+    sharded = jax.tree.map(
+        lambda t, s: jax.device_put(t, NamedSharding(mesh, s)), reshaped, specs
+    )
+    qkv = sharded["attn"]["qkv"]["kernel"]  # (depth, D, 3, H, Dh)
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    assert shard_shapes == {(DEPTH // 2, DIM, 3, HEADS // 2, DIM // HEADS)}
+    fc1 = sharded["mlp"]["fc1"]["kernel"]  # (depth, D, 4D)
+    shard_shapes = {s.data.shape for s in fc1.addressable_shards}
+    assert shard_shapes == {(DEPTH // 2, DIM, 4 * DIM // 2)}
+    # round trip back to the flax layout
+    rt = _tp_unreshape_stacked(_tp_reshape_stacked(stacked, HEADS), HEADS)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), stacked, rt
+    )
+
+
+def test_pp_x_tp_validation():
+    block = Block(DIM, 1, use_pallas=False)  # 1 head doesn't divide by tp=2
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, S, DIM))
+    params = {
+        f"blocks_{i}": block.init(jax.random.PRNGKey(i), x)["params"]
+        for i in range(DEPTH)
+    }
+    mesh = make_mesh({"pipe": 2, "model": 2}, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="not divisible"):
+        pipelined_stack_apply(
+            block, params, x, mesh, depth=DEPTH, num_microbatches=4,
+            tp_axis="model",
+        )
+
+
+def test_dp_x_pp_x_tp_pretrain_step_matches_sequential():
+    """Full 3-axis mesh (data x pipe x model) pretrain step == sequential."""
+    import optax
+
+    from textmae_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+    from textmae_tpu.parallel import shard_batch
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.mae_engine import (
+        make_mae_pretrain_step,
+        make_pipelined_mae_pretrain_step,
+    )
+
+    cfg = MAEConfig(
+        img_size=32, patch_size=8, embed_dim=16, depth=4, num_heads=2,
+        decoder_embed_dim=8, decoder_depth=2, decoder_num_heads=2,
+        use_pallas=False,
+    )
+    model = MaskedAutoencoderViT(cfg)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "mask": r}, x, 0.75)
+    )(rng, imgs)
+    tx = optax.adam(1e-3)
+
+    mesh = make_mesh(
+        {"data": 2, "pipe": 2, "model": 2}, devices=jax.devices()[:8]
+    )
+    s_seq = TrainState.create(variables["params"], tx)
+    s_3d = TrainState.create(variables["params"], tx)
+    step_seq = make_mae_pretrain_step(model, tx, 0.75, donate=False)
+    step_3d = make_pipelined_mae_pretrain_step(
+        model, tx, mesh, 0.75, num_microbatches=2,
+        batch_axis="data", tp_axis="model", donate=False,
+    )
+    key = jax.random.PRNGKey(7)
+    for _ in range(2):
+        s_seq, m_seq = step_seq(s_seq, imgs, key)
+        s_3d, m_3d = step_3d(s_3d, shard_batch(imgs, mesh, axis="data"), key)
+        assert float(m_seq["loss"]) == pytest.approx(float(m_3d["loss"]), rel=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_seq.params, s_3d.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4

@@ -50,6 +50,10 @@ def build_parser():
     p.add_argument("--microbatches", type=int, default=4,
                    help="pipeline microbatches per step (>= stages for "
                         "reasonable bubble overhead); batch_size must divide")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="with --pipeline_stages: tensor-parallel width "
+                        "INSIDE each pipeline stage (dp x pp x tp mesh; "
+                        "heads and MLP hidden width must divide evenly)")
     return p
 
 
@@ -127,17 +131,25 @@ def main(argv=None):
                 "silently mis-shard. Use cli.launch multi-process DP without "
                 "pipelining, or run the pipelined job on one host."
             )
-        # DP x PP: leftover devices become a "data" axis (batch sharded
-        # over it) while stages pipeline over "pipe"
-        dp = max(len(jax.devices()) // args.pipeline_stages, 1)
+        # DP x PP (x TP): leftover devices become a "data" axis (batch
+        # sharded over it) while stages pipeline over "pipe" and, with
+        # --tensor_parallel > 1, heads/hidden shard over "model" inside
+        # each stage
+        tp = max(args.tensor_parallel, 1)
+        dp = max(len(jax.devices()) // (args.pipeline_stages * tp), 1)
         axes = {"pipe": args.pipeline_stages}
+        if tp > 1:
+            axes["model"] = tp
         if dp > 1:
-            axes = {"data": dp, "pipe": args.pipeline_stages}
-        mesh = make_mesh(axes, devices=jax.devices()[: dp * args.pipeline_stages])
+            axes = {"data": dp, **axes}
+        mesh = make_mesh(
+            axes, devices=jax.devices()[: dp * args.pipeline_stages * tp]
+        )
         step = make_pipelined_mae_pretrain_step(
             model, tx, mesh, args.mask_ratio,
             num_microbatches=args.microbatches,
             batch_axis="data" if dp > 1 else None,
+            tp_axis="model" if tp > 1 else None,
         )
     else:
         mesh = make_mesh()

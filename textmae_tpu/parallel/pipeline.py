@@ -79,6 +79,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     batch_axis: str = None,
+    param_specs=None,
 ):
     """Run `depth` layers over P pipeline stages on M microbatches.
 
@@ -145,10 +146,140 @@ def pipeline_apply(
         return lax.psum(outbuf, axis)
 
     xs_spec = P(None, batch_axis) if batch_axis else P()
-    in_specs = (jax.tree.map(lambda _: P(axis), stacked_params), xs_spec)
+    if param_specs is None:
+        param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
+    in_specs = (param_specs, xs_spec)
     return jax.shard_map(
         stage, mesh=mesh, in_specs=in_specs, out_specs=xs_spec, check_vma=False
     )(stacked_params, xs)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism INSIDE a pipeline stage (PP x TP, optionally x DP)
+# ---------------------------------------------------------------------------
+# The NamedSharding TP rules (parallel/sharding_rules.py) rely on XLA's GSPMD
+# partitioner; inside shard_map every collective is explicit, so composing TP
+# with the GPipe schedule needs a manual Megatron block: attention sharded on
+# HEADS (each member runs num_heads/T full heads), the MLP sharded on HIDDEN
+# units, one psum over the tp axis per residual branch (after attn.proj and
+# mlp.fc2). A contiguous column split of the fused (D, 3D) qkv kernel would
+# interleave q/k/v across members, so the kernels are pre-reshaped to expose
+# the head axis and sharded on it.
+
+
+def _tp_reshape_stacked(stacked, num_heads: int):
+    """Expose the head axis on the stacked attention kernels.
+
+    qkv kernel (depth, D, 3D)  -> (depth, D, 3, H, Dh)
+    qkv bias   (depth, 3D)     -> (depth, 3, H, Dh)
+    proj kernel (depth, D, D)  -> (depth, H, Dh, D)
+    Everything else unchanged. Inverse: _tp_unreshape_stacked.
+    """
+    out = jax.tree.map(lambda x: x, stacked)  # shallow copy of the tree
+    attn = dict(out["attn"])
+    qkv = dict(attn["qkv"])
+    proj = dict(attn["proj"])
+    d, dim, three_dim = qkv["kernel"].shape
+    head_dim = dim // num_heads
+    qkv["kernel"] = qkv["kernel"].reshape(d, dim, 3, num_heads, head_dim)
+    if "bias" in qkv:
+        qkv["bias"] = qkv["bias"].reshape(d, 3, num_heads, head_dim)
+    proj["kernel"] = proj["kernel"].reshape(d, num_heads, head_dim, dim)
+    attn["qkv"], attn["proj"] = qkv, proj
+    out = dict(out)
+    out["attn"] = attn
+    return out
+
+
+def _tp_unreshape_stacked(stacked, num_heads: int):
+    """Inverse of _tp_reshape_stacked (for mapping gradients back)."""
+    out = dict(stacked)
+    attn = dict(out["attn"])
+    qkv = dict(attn["qkv"])
+    proj = dict(attn["proj"])
+    d, dim, _, _, head_dim = qkv["kernel"].shape
+    qkv["kernel"] = qkv["kernel"].reshape(d, dim, 3 * num_heads * head_dim)
+    if "bias" in qkv:
+        qkv["bias"] = qkv["bias"].reshape(d, 3 * num_heads * head_dim)
+    proj["kernel"] = proj["kernel"].reshape(d, num_heads * head_dim, dim)
+    attn["qkv"], attn["proj"] = qkv, proj
+    out["attn"] = attn
+    return out
+
+
+def _tp_stacked_specs(stacked, pipe_axis: str, tp_axis: str):
+    """PartitionSpec tree for a _tp_reshape_stacked tree: leading depth axis
+    over `pipe_axis`, heads / hidden units over `tp_axis`."""
+
+    def one(path, leaf):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if p.endswith("attn/qkv/kernel"):
+            return P(pipe_axis, None, None, tp_axis, None)
+        if p.endswith("attn/qkv/bias"):
+            return P(pipe_axis, None, tp_axis, None)
+        if p.endswith("attn/proj/kernel"):
+            return P(pipe_axis, tp_axis, None, None)
+        if p.endswith("mlp/fc1/kernel"):
+            return P(pipe_axis, None, tp_axis)
+        if p.endswith("mlp/fc1/bias"):
+            return P(pipe_axis, tp_axis)
+        if p.endswith("mlp/fc2/kernel"):
+            return P(pipe_axis, tp_axis, None)
+        return P(pipe_axis)
+
+    return jax.tree_util.tree_map_with_path(one, stacked)
+
+
+def make_tp_block_fn(
+    tp_axis: str,
+    norm_eps: float = 1e-6,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> Callable:
+    """(local_params, x) -> x: one pre-norm ViT block on tp-local shards.
+
+    Math-identical to ops.vit.Block (deterministic path) when the local
+    shards are concatenated over `tp_axis`: attention heads are independent,
+    MLP hidden units are independent, so each member computes a partial sum
+    of the row-parallel matmuls and one lax.psum per residual branch
+    completes them. LayerNorm statistics run in float32 like flax's.
+    """
+
+    def layernorm(x, p):
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = jnp.maximum((x32 * x32).mean(-1, keepdims=True) - mean * mean, 0.0)
+        y = (x32 - mean) * jax.lax.rsqrt(var + norm_eps)
+        return (y * p["scale"] + p["bias"]).astype(dtype)
+
+    def block(p, h):
+        from textmae_tpu.ops.attention import attention_reference
+
+        y = layernorm(h, p["norm1"])
+        a = p["attn"]
+        # column-parallel qkv on the local heads: (N, S, 3, Hl, Dh)
+        qkv = jnp.einsum(
+            "nsd,dche->nsche", y, a["qkv"]["kernel"].astype(dtype)
+        )
+        if "bias" in a["qkv"]:
+            qkv = qkv + a["qkv"]["bias"].astype(dtype)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        o = attention_reference(q, k, v)  # (N, Hl, S, Dh)
+        # row-parallel proj: partial sums over local heads, completed by psum
+        o = jnp.einsum(
+            "nhse,hed->nsd", o, a["proj"]["kernel"].astype(dtype)
+        )
+        o = lax.psum(o, tp_axis) + a["proj"]["bias"].astype(dtype)
+        h = h + o
+        y = layernorm(h, p["norm2"])
+        m = p["mlp"]
+        z = y @ m["fc1"]["kernel"].astype(dtype) + m["fc1"]["bias"].astype(dtype)
+        z = jax.nn.gelu(z, approximate=False)
+        z = lax.psum(z @ m["fc2"]["kernel"].astype(dtype), tp_axis)
+        z = z + m["fc2"]["bias"].astype(dtype)
+        return h + z
+
+    return jax.checkpoint(block) if remat else block
 
 
 def pipelined_stack_apply(
@@ -162,6 +293,8 @@ def pipelined_stack_apply(
     prefix: str = "blocks_",
     axis: str = "pipe",
     batch_axis: str = None,
+    tp_axis: str = None,
+    remat: bool = False,
     shard: bool = True,
 ) -> jnp.ndarray:
     """Pipeline a flax Block stack over `axis`: drop-in for the sequential
@@ -172,17 +305,54 @@ def pipelined_stack_apply(
                   stacks here).
     params        the parent params dict holding f"{prefix}{i}" subtrees.
     x             (N, S, D) activations; N must divide by num_microbatches.
+    tp_axis       optional third mesh axis for tensor parallelism INSIDE each
+                  pipeline stage (dp x pp x tp): the block runs as a manual
+                  Megatron block (make_tp_block_fn) with attention heads and
+                  MLP hidden units sharded over `tp_axis` and one psum per
+                  residual branch. block_module.num_heads must divide by
+                  mesh.shape[tp_axis] (and so must the MLP hidden width).
     """
     n = x.shape[0]
     if n % num_microbatches:
         raise ValueError(f"batch {n} not divisible by {num_microbatches} microbatches")
     stacked = stack_layer_params(params, depth, prefix)
-    if shard:
-        stacked = _shard_stacked(stacked, mesh, axis)
 
-    def block_fn(layer_params, h):
-        return block_module.apply({"params": layer_params}, h)
+    if tp_axis is not None:
+        tp = mesh.shape[tp_axis]
+        num_heads = block_module.num_heads
+        hidden = int(block_module.dim * block_module.mlp_ratio)
+        if num_heads % tp or hidden % tp:
+            raise ValueError(
+                f"heads {num_heads} / mlp hidden {hidden} not divisible by "
+                f"tp={tp} over axis {tp_axis!r}"
+            )
+        stacked = _tp_reshape_stacked(stacked, num_heads)
+        param_specs = _tp_stacked_specs(stacked, axis, tp_axis)
+        block_fn = make_tp_block_fn(
+            tp_axis,
+            norm_eps=block_module.norm_eps,
+            dtype=block_module.dtype,
+            remat=remat,
+        )
+    else:
+        param_specs = None
+
+        def block_fn(layer_params, h):
+            return block_module.apply({"params": layer_params}, h)
+
+    if shard:
+        if param_specs is None:
+            stacked = _shard_stacked(stacked, mesh, axis)
+        else:
+            stacked = jax.tree.map(
+                lambda t, s: jax.device_put(t, NamedSharding(mesh, s)),
+                stacked,
+                param_specs,
+            )
 
     xs = x.reshape(num_microbatches, n // num_microbatches, *x.shape[1:])
-    ys = pipeline_apply(block_fn, stacked, xs, mesh, axis=axis, batch_axis=batch_axis)
+    ys = pipeline_apply(
+        block_fn, stacked, xs, mesh,
+        axis=axis, batch_axis=batch_axis, param_specs=param_specs,
+    )
     return ys.reshape(n, *x.shape[1:])

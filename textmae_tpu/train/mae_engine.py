@@ -57,6 +57,7 @@ def make_pipelined_mae_pretrain_step(
     num_microbatches: int = 4,
     axis: str = "pipe",
     batch_axis: str = None,
+    tp_axis: str = None,
     donate: bool = True,
 ):
     """Pretrain step with the encoder/decoder block stacks run as pipeline
@@ -70,6 +71,12 @@ def make_pipelined_mae_pretrain_step(
     over it (parallel.shard_batch(batch, mesh, axis=batch_axis)) and each
     data slice runs its own pipeline; gradients sync through XLA's SPMD
     partitioning as usual.
+
+    tp_axis: name of a model axis in `mesh` for tensor parallelism INSIDE
+    each pipeline stage (dp x pp x tp): the blocks run as manual Megatron
+    blocks (parallel.pipeline.make_tp_block_fn) with heads / MLP hidden
+    units sharded over it. num_heads and the MLP hidden width of both
+    stacks must divide by mesh.shape[tp_axis].
     """
     from textmae_tpu.models.mae import MaskedAutoencoderViT as M
     from textmae_tpu.ops.vit import Block
@@ -99,14 +106,16 @@ def make_pipelined_mae_pretrain_step(
         x = pipelined_stack_apply(
             enc_block, params, x, mesh, depth=cfg.depth,
             num_microbatches=num_microbatches, prefix="blocks_", axis=axis,
-            batch_axis=batch_axis, shard=False,
+            batch_axis=batch_axis, tp_axis=tp_axis, remat=cfg.remat,
+            shard=False,
         )
         x = model.apply(v, x, method=M.encode_norm)
         x = model.apply(v, x, ids_restore, method=M.decode_tokens)
         x = pipelined_stack_apply(
             dec_block, params, x, mesh, depth=cfg.decoder_depth,
             num_microbatches=num_microbatches, prefix="decoder_blocks_",
-            axis=axis, batch_axis=batch_axis, shard=False,
+            axis=axis, batch_axis=batch_axis, tp_axis=tp_axis,
+            remat=cfg.remat, shard=False,
         )
         pred = model.apply(v, x, method=M.decode_pred)
         return model.apply(v, imgs, pred, mask, method=M.forward_loss)
