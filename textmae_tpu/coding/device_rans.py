@@ -106,7 +106,20 @@ def decode_symbols(words, count, hi, lo, pos, indexes, cdf, cdf_length, offset):
     cdf = jnp.asarray(cdf, jnp.int32)
     cdf_length = jnp.asarray(cdf_length, jnp.int32)
     offset = jnp.asarray(offset, jnp.int32)
+
+    # Doctor the zero padding ONCE: rows are zero-padded past their valid
+    # prefix, and 0 <= dx is always true, so the original search needed a
+    # per-step `lane < length` mask. Rewriting pad entries to 2^16 + 1
+    # (above any 16-bit dx) makes the plain `row <= dx` count exact with no
+    # mask. The quantized CDFs are non-decreasing over the valid prefix and
+    # end at exactly 2^16, so boundary selection below is unaffected.
+    # (A two-level bucketed search and per-element window gathers were both
+    # measured SLOWER on TPU than this wide-row linear scan — narrow/strided
+    # gathers are the expensive op, full-row gather + VPU scan is the fast
+    # idiom; see VERIFICATION.md decode-bench rows.)
     lanes = jnp.arange(cdf.shape[1], dtype=jnp.int32)
+    _PAD = jnp.int32((1 << 16) + 1)
+    cdf = jnp.where(lanes[None, :] < cdf_length[:, None], cdf, _PAD)
 
     def esc_cond(c):
         return c[-1].any()
@@ -129,17 +142,19 @@ def decode_symbols(words, count, hi, lo, pos, indexes, cdf, cdf_length, offset):
     def step(carry, idx_t):
         hi, lo, pos = carry
         row = cdf[idx_t]  # (N, L)
-        length = cdf_length[idx_t]  # (N,)
         dx = (lo & jnp.uint32(_U16)).astype(jnp.int32)
-        le = (row <= dx[:, None]) & (lanes[None, :] < length[:, None])
+        le = row <= dx[:, None]
         bin_ = le.sum(axis=1).astype(jnp.int32) - 1
-        start = jnp.take_along_axis(row, bin_[:, None], axis=1)[:, 0]
-        nxt = jnp.take_along_axis(row, (bin_ + 1)[:, None], axis=1)[:, 0]
+        # boundaries without take_along gathers: the row is non-decreasing,
+        # so the largest entry <= dx IS cdf[bin] and the smallest entry > dx
+        # IS cdf[bin+1] — two VPU reductions instead of two gathers
+        start = jnp.max(jnp.where(le, row, 0), axis=1)
+        nxt = jnp.min(jnp.where(le, _PAD, row), axis=1)
         hi, lo, pos = _advance(
             hi, lo, pos, words, count,
             start.astype(jnp.uint32), (nxt - start).astype(jnp.uint32), 16,
         )
-        max_bin = length - 2
+        max_bin = cdf_length[idx_t] - 2
         is_esc = bin_ == max_bin
         zero = jnp.zeros_like(lo)
         hi, lo, pos, raw, _, _ = jax.lax.while_loop(
@@ -245,7 +260,6 @@ def encode_symbols(symbols, indexes, cdf, cdf_length, offset, max_words=None):
     def step(carry, st):
         hi, lo, words, wpos = carry
         sym_t, idx_t = st
-        row = cdf[idx_t]  # (N, L)
         max_bin = cdf_length[idx_t] - 2
         value = sym_t - offset[idx_t]
         is_esc = (value < 0) | (value >= max_bin)
@@ -271,8 +285,11 @@ def encode_symbols(symbols, indexes, cdf, cdf_length, offset, max_words=None):
             (hi, lo, words, wpos, raw, j, klast, is_esc & (j >= 0)),
         )
         bin_ = jnp.where(is_esc, max_bin, value)
-        start = jnp.take_along_axis(row, bin_[:, None], axis=1)[:, 0]
-        nxt = jnp.take_along_axis(row, (bin_ + 1)[:, None], axis=1)[:, 0]
+        # the encoder knows the bin outright — gather just the two boundary
+        # entries instead of materializing the whole (N, L) row per step
+        # (the row gather dominated the encode scan on production tables)
+        start = cdf[idx_t, bin_]
+        nxt = cdf[idx_t, bin_ + 1]
         hi, lo, words, wpos = emit(
             hi, lo, words, wpos,
             start.astype(jnp.uint32), (nxt - start).astype(jnp.uint32), 16,
