@@ -227,6 +227,7 @@ class MCMCodec:
 
         self._dev_decode = jax.jit(decode_symbols)
         self._dev_encode = jax.jit(encode_symbols, static_argnames=("max_words",))
+        self._gauss_packed = None  # lazy pallas_rans.pack_tables output
 
         def _pack(syms, idxs, z_sym, ids_restore, overflow):
             # single D2H buffer with an int8 symbol payload — quantized
@@ -329,6 +330,39 @@ class MCMCodec:
                 jnp.asarray(et.offset),
             )
         return self._dev_gauss, self._dev_eb
+
+    def _gauss_decode(self, words, count, hi, lo, pos, indexes):
+        """Decode Gaussian-table symbols in-jit: Pallas kernel on TPU (the
+        rans64 state machine as one Mosaic program, ~1.9x the lax.scan
+        per-symbol rate and no per-step HBM round trips), lax.scan elsewhere
+        or when the job exceeds the kernel's VMEM budget. Both paths are
+        byte-exact by the device_rans/pallas_rans fuzz contracts."""
+        (gtc, gtl, gto), _ = self._device_tables()
+        use_pallas = False
+        if jax.default_backend() == "tpu":
+            from textmae_tpu.coding.pallas_rans import fits_pallas
+
+            gt = self.gauss_tables
+            use_pallas = fits_pallas(
+                indexes.shape[0], indexes.shape[1], gtc.shape[0],
+                gtc.shape[1], words.shape[1],
+            )
+        if use_pallas:
+            from textmae_tpu.coding.pallas_rans import (
+                decode_symbols_pallas_packed,
+                pack_tables,
+            )
+
+            if self._gauss_packed is None:
+                gt = self.gauss_tables
+                self._gauss_packed = pack_tables(
+                    gt.quantized_cdf, gt.cdf_length, gt.offset
+                )
+            tab, l = self._gauss_packed
+            return decode_symbols_pallas_packed(
+                words, count, hi, lo, pos, indexes, tab, l
+            )
+        return self._dev_decode(words, count, hi, lo, pos, indexes, gtc, gtl, gto)
 
     def _idx_to_host(self, index: jnp.ndarray) -> np.ndarray:
         """Device scale indexes -> host uint8 array over the 6-bit wire."""
@@ -693,8 +727,8 @@ class MCMCodec:
 
         def dev_decode(index):
             nonlocal hi, lo, pos
-            out, hi, lo, pos = self._dev_decode(
-                words, count, hi, lo, pos, index.reshape(n, -1), gtc, gtl, gto
+            out, hi, lo, pos = self._gauss_decode(
+                words, count, hi, lo, pos, index.reshape(n, -1)
             )
             return self._as_int16(out).reshape(n, grid, grid, g)
 
@@ -720,8 +754,8 @@ class MCMCodec:
         tail = cfg.num_slices - head
         mu_t, index_t, ms_t = self._tail_params(v, buf, latent_means, latent_scales)
         idx_flat = jnp.transpose(index_t, (1, 0, 2, 3, 4)).reshape(n, -1)
-        out, hi, lo, pos = self._dev_decode(
-            words, count, hi, lo, pos, idx_flat, gtc, gtl, gto
+        out, hi, lo, pos = self._gauss_decode(
+            words, count, hi, lo, pos, idx_flat
         )
         sym_t = jnp.transpose(
             self._as_int16(out).reshape(n, tail, grid, grid, g), (1, 0, 2, 3, 4)
