@@ -126,3 +126,61 @@ def test_fits_pallas_budget():
     # production shapes fit; absurd ones do not
     assert fits_pallas(24, 27648, 64, 3133, 64)
     assert not fits_pallas(24, 10_000_000, 64, 3133, 64)
+
+
+# ---------------------------------------------------------------------------
+# Encoder kernel
+# ---------------------------------------------------------------------------
+from textmae_tpu.coding.device_rans import finalize_streams
+from textmae_tpu.coding.pallas_rans import encode_symbols_pallas
+
+
+@pytest.mark.parametrize(
+    "N,T,esc",
+    [(5, 73, (-4, 30)), (3, 257, (-100000, 100000)), (4, 128, (0, 3)),
+     (2, 129, (-50, 50))],
+)
+def test_pallas_encode_byte_identical(N, T, esc):
+    rng = np.random.default_rng(N * 7919 + T)
+    cdf, lens, offs = make_tables(rng)
+    idxs, syms, streams = roundtrip(
+        rng, cdf, lens, offs, N, T, esc_lo=esc[0], esc_hi=esc[1]
+    )
+    ws, wc, hi, lo = encode_symbols_pallas(
+        syms, idxs, cdf, lens, offs, max_words=12 * T + 2, interpret=True
+    )
+    outs = finalize_streams(np.asarray(ws), np.asarray(wc), np.asarray(hi),
+                            np.asarray(lo))
+    assert all(a == b for a, b in zip(outs, streams))
+
+
+def test_pallas_encode_overflow_counts_past_cap():
+    """A too-small word buffer must surface as wcount > cap (raised by
+    finalize_streams), never a silently truncated stream."""
+    rng = np.random.default_rng(5)
+    cdf, lens, offs = make_tables(rng)
+    idxs, syms, _ = roundtrip(rng, cdf, lens, offs, 2, 256)
+    ws, wc, hi, lo = encode_symbols_pallas(
+        syms, idxs, cdf, lens, offs, max_words=2, interpret=True
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        finalize_streams(np.asarray(ws), np.asarray(wc), np.asarray(hi),
+                         np.asarray(lo))
+
+
+def test_pallas_encode_decode_roundtrip():
+    """pallas encode -> pallas decode, no host coder involved."""
+    rng = np.random.default_rng(13)
+    cdf, lens, offs = make_tables(rng)
+    N, T = 4, 200
+    idxs, syms, _ = roundtrip(rng, cdf, lens, offs, N, T)
+    ws, wc, hi, lo = encode_symbols_pallas(
+        syms, idxs, cdf, lens, offs, max_words=12 * T + 2, interpret=True
+    )
+    streams = finalize_streams(np.asarray(ws), np.asarray(wc),
+                               np.asarray(hi), np.asarray(lo))
+    init = [jnp.asarray(a) for a in init_states(streams)]
+    out, *_ = decode_symbols_pallas(
+        *init, jnp.asarray(idxs), cdf, lens, offs, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), syms)

@@ -83,6 +83,8 @@ def pack_tables(cdf, cdf_length, offset):
     tab[:, l : 2 * l] = doctored & 0xFF
     tab[:, 2 * l] = off_biased >> 8
     tab[:, 2 * l + 1] = off_biased & 0xFF
+    tab[:, 2 * l + 2] = cdf_length >> 8
+    tab[:, 2 * l + 3] = cdf_length & 0xFF
     return jnp.asarray(tab.astype(jnp.bfloat16)), l
 
 
@@ -266,6 +268,26 @@ def fits_pallas(n, t, k, l, w_max) -> bool:
     return tensors <= _VMEM_BUDGET_BYTES
 
 
+# The encoder's word emission is a masked read-modify-write of the whole
+# (N, cap) buffer per emitted word, so its cost scales with cap — size it
+# for the REAL operating rate, not the worst case. 2048 u32 words/stream is
+# ~85 kbit/stream, orders of magnitude above the trained model's ~330
+# bits/image; finalize_streams still raises on the hypothetical overflow
+# (wcount keeps counting past cap), so callers can fall back losslessly.
+ENC_CAP_DEFAULT = 2048
+
+
+def fits_pallas_enc(n, t, k, l, cap) -> bool:
+    if not _HAS_PALLAS:
+        return False
+    n_pad = -(-n // 8) * 8
+    t_pad = -(-t // _BLK) * _BLK
+    tensors = (
+        2 * t_pad * n_pad * 4 + k * (2 * l + 128) * 2 + n_pad * cap * 4
+    )
+    return tensors <= _VMEM_BUDGET_BYTES
+
+
 @functools.partial(jax.jit, static_argnames=("l", "t_real", "interpret"))
 def _run(idx, words, count, hi, lo, pos, tab, l, t_real, interpret=False):
     n, t_pad = idx.shape
@@ -331,4 +353,239 @@ def decode_symbols_pallas_packed(
         hi3.view(jnp.uint32).reshape(n),
         lo3.view(jnp.uint32).reshape(n),
         pos3.reshape(n),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoder kernel: the same rans64 stream format, produced in one Mosaic
+# program (mirrors device_rans.encode_symbols' reverse-op scan)
+# ---------------------------------------------------------------------------
+def _enc_kernel(sym_ref, idx_ref, tab_ref, words_ref, wpos_out, hi_out,
+                lo_out, *, n, t_steps, l, k, cap):
+    u16 = jnp.uint32(_U16)
+    tab = tab_ref[:]  # (K, 2L + 128) bf16
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n, k), 1)
+    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (n, _BLK), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
+
+    def _divmod(hi, lo, f):
+        # base-2^16 long division (device_rans._divmod_u64_u32; Mosaic
+        # supports vector u32 div/mod)
+        q3 = (hi >> 16) // f
+        r = (hi >> 16) % f
+        t = (r << 16) | (hi & u16)
+        q2 = t // f
+        t = ((t % f) << 16) | (lo >> 16)
+        q1 = t // f
+        t = ((t % f) << 16) | (lo & u16)
+        q0 = t // f
+        return (q3 << 16) | q2, (q1 << 16) | q0, t % f
+
+    def emit(hi, lo, wpos, start, freq, bits, active):
+        # renorm first (one word push suffices), then
+        # x = ((x // freq) << bits) + x % freq + start
+        on = active.astype(jnp.uint32)
+        thresh = freq << (31 - bits)
+        # hi >= thresh, UNSIGNED (thresh reaches 2^31; Mosaic compares sign)
+        need = on * (jnp.uint32(1) - _u32_lt(hi, thresh))
+        # masked merge of lo into the word buffer at per-stream wpos; the
+        # whole-buffer read-modify-write only runs on steps where some lane
+        # actually renormalizes (rare at real operating rates)
+        @pl.when((need != 0).any())
+        def _():
+            m = (cap_iota == wpos).astype(jnp.int32) * need.astype(jnp.int32)
+            lo_b = jnp.broadcast_to(lo.astype(jnp.int32), (n, cap))
+            words_ref[:, :] = lo_b * m + words_ref[:, :] * (1 - m)
+
+        wpos = wpos + need.astype(jnp.int32)
+        lo1 = _mux(need, hi, lo)
+        hi1 = _mux(need, hi ^ hi, hi)
+        qhi, qlo, rem = _divmod(hi1, lo1, freq)
+        shi = (qhi << bits) | (qlo >> (32 - bits))
+        slo = qlo << bits
+        add = rem + start
+        lo2 = slo + add
+        hi2 = shi + _u32_lt(lo2, slo)
+        hi = _mux(on, hi2, hi)
+        lo = _mux(on, lo2, lo)
+        return hi, lo, wpos
+
+    def step_factory():
+        def step_at(t, hi, lo, wpos, sym_blk, idx_blk, jlane):
+            sel = blk_iota == jlane
+            c1i = (wpos ^ wpos) + 1
+            sym = jnp.sum(jnp.where(sel, sym_blk, 0), axis=1, keepdims=True) * c1i
+            idx = jnp.sum(jnp.where(sel, idx_blk, 0), axis=1, keepdims=True) * c1i
+            oh = (k_iota == idx).astype(jnp.bfloat16)
+            rows = jax.lax.dot_general(
+                oh, tab, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            row_f = rows[:, :l] * 256.0 + rows[:, l : 2 * l]
+            off = (
+                rows[:, 2 * l : 2 * l + 1] * 256.0
+                + rows[:, 2 * l + 1 : 2 * l + 2]
+            ).astype(jnp.int32) - (1 << 15)
+            length = (
+                rows[:, 2 * l + 2 : 2 * l + 3] * 256.0
+                + rows[:, 2 * l + 3 : 2 * l + 4]
+            ).astype(jnp.int32)
+            max_bin = length - 2
+            value = sym - off
+            is_esc = ((value < 0) | (value >= max_bin)).astype(jnp.int32)
+            vu = value.astype(jnp.uint32)
+            mb_u = max_bin.astype(jnp.uint32)
+            raw_hi = (vu - mb_u) << 1
+            raw_lo = ((jnp.uint32(0) - vu) << 1) - 1
+            raw = _mux((value >= max_bin).astype(jnp.int32), raw_hi, raw_lo)
+            raw = raw * is_esc.astype(jnp.uint32)
+            # klast: index of last 3-bit chunk = #{k in 1..10 : raw >> 3k != 0}
+            klast = sum(
+                ((raw // jnp.uint32(1 << (3 * kk))) != 0).astype(jnp.int32)
+                for kk in range(1, 11)
+            )
+            # escape chunks are emitted REVERSED (chunk klast .. 0), each a
+            # 4-bit op with freq 1; chunk j = (raw >> 3j) & 7 (+8 if j<klast),
+            # realized as division by a carried 8^j divisor
+            div0 = jnp.uint32(1)
+            for kk in range(10):  # 8^klast, computed without vector shifts
+                div0 = div0 * _mux((klast > kk).astype(jnp.uint32),
+                                   jnp.uint32(8), jnp.uint32(1))
+
+            def echain_cond(c):
+                return (c[-1] != 0).any()
+
+            def echain_body(c):
+                hi, lo, wpos, j, div, active = c
+                chunk = ((raw // div) & jnp.uint32(7)) | _mux(
+                    (j < klast).astype(jnp.uint32), jnp.uint32(8), jnp.uint32(0)
+                )
+                hi, lo, wpos = emit(hi, lo, wpos, chunk, jnp.uint32(1), 4,
+                                    active)
+                j = j - 1
+                div = _mux(active.astype(jnp.uint32), div // jnp.uint32(8), div)
+                active = active & (j >= 0).astype(jnp.int32)
+                return hi, lo, wpos, j, div, active
+
+            j0 = klast * is_esc - (1 - is_esc)  # klast when esc else -1
+            hi, lo, wpos, *_ = jax.lax.while_loop(
+                echain_cond, echain_body,
+                (hi, lo, wpos, j0, div0, is_esc * (j0 >= 0).astype(jnp.int32)),
+            )
+            bin_ = _mux(is_esc, max_bin, value)
+            c1f = (wpos ^ wpos).astype(jnp.float32) + 1.0
+            s_m = (lane_iota == bin_).astype(jnp.float32)
+            n_m = (lane_iota == bin_ + 1).astype(jnp.float32)
+            start = (
+                (jnp.sum(row_f * s_m, axis=1, keepdims=True) * c1f)
+                .astype(jnp.int32).astype(jnp.uint32)
+            )
+            nxt = (
+                (jnp.sum(row_f * n_m, axis=1, keepdims=True) * c1f)
+                .astype(jnp.int32).astype(jnp.uint32)
+            )
+            ones_i = (wpos ^ wpos) + 1
+            hi, lo, wpos = emit(hi, lo, wpos, start, nxt - start, 16, ones_i)
+            return hi, lo, wpos
+        return step_at
+
+    step_at = step_factory()
+
+    def block(bb, carry):
+        # FULL blocks processed last-to-first (the partial tail block, if
+        # any, was already handled); lanes within a block high-to-low
+        hi, lo, wpos = carry
+        b = t_steps // _BLK - 1 - bb
+        sym_blk = sym_ref[:, pl.ds(b * _BLK, _BLK)]
+        idx_blk = idx_ref[:, pl.ds(b * _BLK, _BLK)]
+
+        def inner(jj, c):
+            hi, lo, wpos = c
+            jlane = _BLK - 1 - jj
+            return step_at(0, hi, lo, wpos, sym_blk, idx_blk, jlane)
+
+        hi, lo, wpos = jax.lax.fori_loop(0, _BLK, inner, (hi, lo, wpos))
+        return hi, lo, wpos
+
+    zero = jnp.zeros((n, 1), jnp.uint32)
+    hi = zero
+    lo = zero + jnp.uint32(_HALF)  # x = _RANS_L
+    wpos = jnp.zeros((n, 1), jnp.int32)
+
+    n_blocks, rem = divmod(t_steps, _BLK)
+    if rem:  # partial LAST block first (reverse order): lanes rem-1 .. 0
+        sym_blk = sym_ref[:, pl.ds(n_blocks * _BLK, _BLK)]
+        idx_blk = idx_ref[:, pl.ds(n_blocks * _BLK, _BLK)]
+
+        def inner0(jj, c):
+            hi, lo, wpos = c
+            jlane = rem - 1 - jj
+            return step_at(0, hi, lo, wpos, sym_blk, idx_blk, jlane)
+
+        hi, lo, wpos = jax.lax.fori_loop(0, rem, inner0, (hi, lo, wpos))
+    hi, lo, wpos = jax.lax.fori_loop(0, n_blocks, block, (hi, lo, wpos))
+    wpos_out[:] = wpos
+    hi_out[:] = hi.astype(jnp.int32)
+    lo_out[:] = lo.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "t_real", "cap", "interpret"))
+def _run_enc(sym, idx, tab, l, t_real, cap, interpret=False):
+    n, t_pad = idx.shape
+    k = tab.shape[0]
+    kern = functools.partial(
+        _enc_kernel, n=n, t_steps=int(t_real), l=int(l), k=k, cap=int(cap)
+    )
+    words, wpos, hi, lo = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, cap), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        interpret=interpret,
+    )(sym, idx, tab)
+    return words, wpos, hi, lo
+
+
+def encode_symbols_pallas(
+    symbols, indexes, cdf, cdf_length, offset, max_words=None, *,
+    interpret=False,
+):
+    """Drop-in for device_rans.encode_symbols via the Pallas kernel.
+
+    Returns (words (N, cap) uint32, wcount (N,), hi (N,), lo (N,)) for
+    device_rans.finalize_streams — byte-identical streams by the fuzz
+    contract. Words land at the FRONT of the buffer in emission order, the
+    same layout encode_symbols produces.
+    """
+    tab, l = pack_tables(cdf, cdf_length, offset)
+    return encode_symbols_pallas_packed(
+        symbols, indexes, tab, l, max_words=max_words, interpret=interpret
+    )
+
+
+def encode_symbols_pallas_packed(
+    symbols, indexes, tab, l, max_words=None, *, interpret=False
+):
+    n, t = indexes.shape
+    t_pad = -(-t // _BLK) * _BLK
+    cap = int(max_words) if max_words is not None else 12 * t + 2
+    sym = jnp.asarray(symbols, jnp.int32)
+    idx = jnp.asarray(indexes, jnp.int32)
+    if t_pad != t:
+        sym = jnp.pad(sym, ((0, 0), (0, t_pad - t)))
+        idx = jnp.pad(idx, ((0, 0), (0, t_pad - t)))
+    words, wpos, hi, lo = _run_enc(
+        sym, idx, tab, int(l), int(t), cap, interpret=interpret
+    )
+    return (
+        words.view(jnp.uint32),
+        wpos.reshape(n),
+        hi.view(jnp.uint32).reshape(n),
+        lo.view(jnp.uint32).reshape(n),
     )

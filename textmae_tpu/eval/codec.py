@@ -364,6 +364,44 @@ class MCMCodec:
             )
         return self._dev_decode(words, count, hi, lo, pos, indexes, gtc, gtl, gto)
 
+    def _gauss_encode(self, syms, idxs, max_words):
+        """Encode Gaussian-table symbols in-jit: Pallas kernel on TPU with a
+        rate-sized word buffer (pallas_rans.ENC_CAP_DEFAULT; the masked
+        word-merge cost scales with the buffer, so the worst-case capacity
+        would erase the kernel's win), lax.scan elsewhere. wcount counts
+        past the buffer on overflow, so the caller's finalize_streams
+        raises rather than truncating; compress() retries via the scan path
+        at full capacity in that case."""
+        (gtc, gtl, gto), _ = self._device_tables()
+        use_pallas = False
+        cap = max_words
+        if jax.default_backend() == "tpu":
+            from textmae_tpu.coding.pallas_rans import (
+                ENC_CAP_DEFAULT,
+                fits_pallas_enc,
+            )
+
+            cap = min(max_words, ENC_CAP_DEFAULT)
+            use_pallas = fits_pallas_enc(
+                syms.shape[0], syms.shape[1], gtc.shape[0], gtc.shape[1], cap
+            )
+        if use_pallas:
+            from textmae_tpu.coding.pallas_rans import (
+                encode_symbols_pallas_packed,
+                pack_tables,
+            )
+
+            if self._gauss_packed is None:
+                gt = self.gauss_tables
+                self._gauss_packed = pack_tables(
+                    gt.quantized_cdf, gt.cdf_length, gt.offset
+                )
+            tab, l = self._gauss_packed
+            return encode_symbols_pallas_packed(
+                syms, idxs, tab, l, max_words=cap
+            )
+        return self._dev_encode(syms, idxs, gtc, gtl, gto, max_words=max_words)
+
     def _idx_to_host(self, index: jnp.ndarray) -> np.ndarray:
         """Device scale indexes -> host uint8 array over the 6-bit wire."""
         if not self._idx6:
@@ -568,9 +606,9 @@ class MCMCodec:
         y_sym = jnp.transpose(syms_d, (1, 0, 2, 3, 4)).reshape(n, t_y)
         y_idx = jnp.transpose(idxs_d, (1, 0, 2, 3, 4)).reshape(n, t_y)
         (gtc, gtl, gto), (etc, etl, eto) = self._device_tables()
-        y_out = self._dev_encode(
+        y_out = self._gauss_encode(
             y_sym.astype(jnp.int32), y_idx.astype(jnp.int32),
-            gtc, gtl, gto, max_words=t_y // 2 + 64,
+            max_words=t_y // 2 + 64,
         )
         z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)[None].repeat(n, 0)
         z_out = self._dev_encode(
@@ -587,7 +625,17 @@ class MCMCodec:
             )
         from textmae_tpu.coding.device_rans import finalize_streams
 
-        y_strings = finalize_streams(*y_out)
+        try:
+            y_strings = finalize_streams(*y_out)
+        except ValueError:
+            # the Pallas encoder's rate-sized word buffer overflowed (only
+            # reachable at absurd operating rates) — re-encode losslessly
+            # via the scan path at full worst-case capacity
+            y_out = jax.device_get(self._dev_encode(
+                y_sym.astype(jnp.int32), y_idx.astype(jnp.int32),
+                gtc, gtl, gto, max_words=t_y // 2 + 64,
+            ))
+            y_strings = finalize_streams(*y_out)
         z_strings = finalize_streams(*z_out)
         streams = [
             CompressedImage(y_string=y, z_string=z, z_shape=(hz, wz))
