@@ -412,7 +412,7 @@ def _enc_kernel(sym_ref, idx_ref, tab_ref, words_ref, wpos_out, hi_out,
         return hi, lo, wpos
 
     def step_factory():
-        def step_at(t, hi, lo, wpos, sym_blk, idx_blk, jlane):
+        def step_at(hi, lo, wpos, sym_blk, idx_blk, jlane):
             sel = blk_iota == jlane
             c1i = (wpos ^ wpos) + 1
             sym = jnp.sum(jnp.where(sel, sym_blk, 0), axis=1, keepdims=True) * c1i
@@ -503,7 +503,7 @@ def _enc_kernel(sym_ref, idx_ref, tab_ref, words_ref, wpos_out, hi_out,
         def inner(jj, c):
             hi, lo, wpos = c
             jlane = _BLK - 1 - jj
-            return step_at(0, hi, lo, wpos, sym_blk, idx_blk, jlane)
+            return step_at(hi, lo, wpos, sym_blk, idx_blk, jlane)
 
         hi, lo, wpos = jax.lax.fori_loop(0, _BLK, inner, (hi, lo, wpos))
         return hi, lo, wpos
@@ -521,7 +521,7 @@ def _enc_kernel(sym_ref, idx_ref, tab_ref, words_ref, wpos_out, hi_out,
         def inner0(jj, c):
             hi, lo, wpos = c
             jlane = rem - 1 - jj
-            return step_at(0, hi, lo, wpos, sym_blk, idx_blk, jlane)
+            return step_at(hi, lo, wpos, sym_blk, idx_blk, jlane)
 
         hi, lo, wpos = jax.lax.fori_loop(0, rem, inner0, (hi, lo, wpos))
     hi, lo, wpos = jax.lax.fori_loop(0, n_blocks, block, (hi, lo, wpos))

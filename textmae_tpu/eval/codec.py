@@ -342,7 +342,6 @@ class MCMCodec:
         if jax.default_backend() == "tpu":
             from textmae_tpu.coding.pallas_rans import fits_pallas
 
-            gt = self.gauss_tables
             use_pallas = fits_pallas(
                 indexes.shape[0], indexes.shape[1], gtc.shape[0],
                 gtc.shape[1], words.shape[1],
