@@ -169,6 +169,17 @@ def main():
     metrics = compute_metrics(imgs, to_pixels(x_hat))
     setup_s = time.time() - t_setup
 
+    # Soft wall-clock budget for the OPTIONAL stages below: on a cold compile
+    # cache (fresh box at driver time) the stage-1/3 + full-dims compiles can
+    # push the child past the supervisor's attempt timeout and lose the
+    # already-measured headline. Each optional stage declares a conservative
+    # cost and is skipped (with a machine-readable note) once the budget says
+    # it cannot finish before BENCH_SOFT_DEADLINE seconds of child runtime.
+    soft_deadline = float(os.environ.get("BENCH_SOFT_DEADLINE", "2100"))
+
+    def stage_fits(est_s: float) -> bool:
+        return (time.time() - t_setup) + est_s <= soft_deadline
+
     reps = int(os.environ.get("BENCH_REPS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     pipeline = int(os.environ.get("BENCH_PIPELINE", "3"))
@@ -193,13 +204,38 @@ def main():
     # on identical code) would otherwise dominate a single measurement
     img_per_s = max(measure_window() for _ in range(windows))
 
+    # preliminary headline, printed BEFORE the optional stages: if the child
+    # is killed mid-extras (cold-cache compiles at driver time), the
+    # supervisor salvages this line instead of losing the measurement. The
+    # final enriched line below supersedes it (the supervisor takes the LAST
+    # parseable scoreboard line).
+    print(
+        json.dumps(
+            {
+                "metric": "kodak24_compress_decompress",
+                "value": round(img_per_s, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_s / TARGET_IMG_PER_S, 4),
+                "bpp": round(bpp, 4),
+                "psnr": round(metrics["psnr"], 3),
+                "ms_ssim": round(metrics["ms-ssim"], 5),
+                "backend": jax.default_backend(),
+                "untrained": untrained,
+                "note": "headline only; optional stages still running",
+            }
+        ),
+        flush=True,
+    )
+
     # ---- stage 1 (caption) throughput: native flax BLIP-2 (vision ->
     # Q-Former -> OPT greedy scan, two jitted programs). Real blip2-opt-2.7b
     # weights are not downloadable here, so reduced dims + random weights;
     # fields are labelled accordingly. BENCH_CAPTION=0 skips.
     caption_fields = {}
     caption_rate = None
-    if os.environ.get("BENCH_CAPTION", "1") != "0":
+    if os.environ.get("BENCH_CAPTION", "1") != "0" and not stage_fits(240):
+        caption_fields = {"caption_note": "skipped: soft deadline"}
+    elif os.environ.get("BENCH_CAPTION", "1") != "0":
         try:
             from textmae_tpu.captioning import Blip2Captioner, Blip2Config
 
@@ -224,7 +260,9 @@ def main():
     # (VAE encode -> Euler/UNet scan with CFG -> VAE decode, one jit) at
     # reduced dims; fields are labelled accordingly. BENCH_REFINE=0 skips.
     refine_fields = {}
-    if os.environ.get("BENCH_REFINE", "1") != "0":
+    if os.environ.get("BENCH_REFINE", "1") != "0" and not stage_fits(420):
+        refine_fields = {"refine_note": "skipped: soft deadline"}
+    elif os.environ.get("BENCH_REFINE", "1") != "0":
         try:
             from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
 
@@ -282,7 +320,9 @@ def main():
     # are bf16 (~3B per stage only fits a 16 GB chip that way); the stages
     # run and are measured sequentially, each freed before the next.
     full_fields = {}
-    if os.environ.get("BENCH_FULL_DIMS", "1") != "0":
+    if os.environ.get("BENCH_FULL_DIMS", "1") != "0" and not stage_fits(600):
+        full_fields = {"full_dims_note": "skipped: soft deadline"}
+    elif os.environ.get("BENCH_FULL_DIMS", "1") != "0":
         fb = int(os.environ.get("BENCH_FULL_BATCH", "8"))
         full_caps = ["kodak photograph"] * fb
         try:
@@ -330,7 +370,13 @@ def main():
     # codec; the headline checkpoint reuses the measured round trip, the
     # others get one fresh round trip each. BENCH_RD_CURVE=0 skips.
     rd_fields = {}
-    if not untrained and os.environ.get("BENCH_RD_CURVE", "1") != "0":
+    if (
+        not untrained
+        and os.environ.get("BENCH_RD_CURVE", "1") != "0"
+        and not stage_fits(300)
+    ):
+        rd_fields = {"rd_curve_note": "skipped: soft deadline"}
+    elif not untrained and os.environ.get("BENCH_RD_CURVE", "1") != "0":
         curve = [
             {
                 "ckpt": ckpt.name,
@@ -431,6 +477,19 @@ def main():
     )
 
 
+def find_result_line(stdout):
+    """Last stdout line that parses as a JSON object with the scoreboard
+    keys (everything else is diagnostics); None if there is none."""
+    for line in reversed((stdout or "").splitlines()):
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict) and {"metric", "value", "unit"} <= obj.keys():
+            return obj
+    return None
+
+
 def supervise() -> int:
     """Run the measurement in fresh subprocesses with bounded retries.
 
@@ -446,6 +505,7 @@ def supervise() -> int:
     timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
     backoffs = [30.0, 90.0]
     last_err = "unknown"
+
     for attempt in range(attempts):
         env = dict(os.environ, BENCH_CHILD="1")
         try:
@@ -457,23 +517,28 @@ def supervise() -> int:
                 timeout=timeout_s,
                 text=True,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # salvage: the child prints a headline-only line before the
+            # optional stages, so a mid-extras overrun still has a number
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            obj = find_result_line(out)
+            if obj is not None:
+                obj["partial"] = True
+                obj["note"] = (
+                    f"{obj.get('note', '')} "
+                    f"[child timed out after {timeout_s:.0f}s during optional "
+                    "stages; headline salvaged]"
+                ).strip()
+                print(json.dumps(obj))
+                return 0
             last_err = f"attempt {attempt + 1} timed out after {timeout_s:.0f}s"
             print(f"[bench] {last_err}", file=sys.stderr, flush=True)
             continue
-        # the result line is the last stdout line that parses as a JSON
-        # object with the scoreboard keys; everything else is diagnostics
-        result = None
-        for line in reversed(proc.stdout.splitlines()):
-            try:
-                obj = json.loads(line)
-            except (json.JSONDecodeError, ValueError):
-                continue
-            if isinstance(obj, dict) and {"metric", "value", "unit"} <= obj.keys():
-                result = line
-                break
+        result = find_result_line(proc.stdout)
         if proc.returncode == 0 and result is not None:
-            print(result)
+            print(json.dumps(result))
             return 0
         tail = "\n".join(proc.stdout.splitlines()[-8:])
         last_err = f"attempt {attempt + 1} rc={proc.returncode}; tail: {tail[-500:]}"

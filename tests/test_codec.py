@@ -238,3 +238,20 @@ def test_wide_pack_flags_z_overflow(setup):
     z_bad = jnp.zeros((2, hz, wz, cfg.hyperprior_depth), jnp.int32).at[0, 0, 0, 0].set(40000)
     packed = np.asarray(codec._pack_wide(syms, idxs, z_bad, ids, jnp.int32(0)))
     assert packed[:2].view(np.int16)[0] == 1  # flagged, not silent
+
+
+def test_update_invalidates_packed_pallas_tables(setup):
+    """update(force=True) must drop the Pallas-packed Gaussian tables along
+    with the device-resident scan tables: a stale packed table would make the
+    Pallas paths encode/decode with old CDFs after a table rebuild (silently
+    corrupt streams)."""
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    tab0, l0 = codec._packed_gauss_tables()
+    assert codec._gauss_packed is not None
+    codec.update(force=True)
+    assert codec._gauss_packed is None  # invalidated with _dev_gauss/_dev_eb
+    tab1, l1 = codec._packed_gauss_tables()
+    assert l1 == l0
+    np.testing.assert_array_equal(np.asarray(tab1), np.asarray(tab0))

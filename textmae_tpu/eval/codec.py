@@ -314,6 +314,7 @@ class MCMCodec:
         )
         self._dev_gauss = None  # re-upload lazily if the tables changed
         self._dev_eb = None
+        self._gauss_packed = None  # Pallas-packed tables track the same build
 
     def _device_tables(self):
         """Device copies of the quantized CDF tables, uploaded once."""
@@ -330,6 +331,17 @@ class MCMCodec:
                 jnp.asarray(et.offset),
             )
         return self._dev_gauss, self._dev_eb
+
+    def _packed_gauss_tables(self):
+        """Pallas-packed Gaussian tables, built once per update()."""
+        if self._gauss_packed is None:
+            from textmae_tpu.coding.pallas_rans import pack_tables
+
+            gt = self.gauss_tables
+            self._gauss_packed = pack_tables(
+                gt.quantized_cdf, gt.cdf_length, gt.offset
+            )
+        return self._gauss_packed
 
     def _gauss_decode(self, words, count, hi, lo, pos, indexes):
         """Decode Gaussian-table symbols in-jit: Pallas kernel on TPU (the
@@ -349,15 +361,9 @@ class MCMCodec:
         if use_pallas:
             from textmae_tpu.coding.pallas_rans import (
                 decode_symbols_pallas_packed,
-                pack_tables,
             )
 
-            if self._gauss_packed is None:
-                gt = self.gauss_tables
-                self._gauss_packed = pack_tables(
-                    gt.quantized_cdf, gt.cdf_length, gt.offset
-                )
-            tab, l = self._gauss_packed
+            tab, l = self._packed_gauss_tables()
             return decode_symbols_pallas_packed(
                 words, count, hi, lo, pos, indexes, tab, l
             )
@@ -387,15 +393,9 @@ class MCMCodec:
         if use_pallas:
             from textmae_tpu.coding.pallas_rans import (
                 encode_symbols_pallas_packed,
-                pack_tables,
             )
 
-            if self._gauss_packed is None:
-                gt = self.gauss_tables
-                self._gauss_packed = pack_tables(
-                    gt.quantized_cdf, gt.cdf_length, gt.offset
-                )
-            tab, l = self._gauss_packed
+            tab, l = self._packed_gauss_tables()
             return encode_symbols_pallas_packed(
                 syms, idxs, tab, l, max_words=cap
             )
@@ -627,15 +627,24 @@ class MCMCodec:
         try:
             y_strings = finalize_streams(*y_out)
         except ValueError:
-            # the Pallas encoder's rate-sized word buffer overflowed (only
-            # reachable at absurd operating rates) — re-encode losslessly
-            # via the scan path at full worst-case capacity
+            # the rate-sized word buffer overflowed (only reachable at absurd
+            # operating rates) — re-encode losslessly via the scan path at the
+            # TRUE worst-case capacity (12 words/symbol: up to 11 escape-chunk
+            # ops + the main 16-bit op, one renorm word each; see
+            # device_rans.encode_symbols)
             y_out = jax.device_get(self._dev_encode(
                 y_sym.astype(jnp.int32), y_idx.astype(jnp.int32),
-                gtc, gtl, gto, max_words=t_y // 2 + 64,
+                gtc, gtl, gto, max_words=12 * t_y + 2,
             ))
             y_strings = finalize_streams(*y_out)
-        z_strings = finalize_streams(*z_out)
+        try:
+            z_strings = finalize_streams(*z_out)
+        except ValueError:
+            z_out = jax.device_get(self._dev_encode(
+                z_sym_d.reshape(n, t_z).astype(jnp.int32), z_idx,
+                etc, etl, eto, max_words=12 * t_z + 2,
+            ))
+            z_strings = finalize_streams(*z_out)
         streams = [
             CompressedImage(y_string=y, z_string=z, z_shape=(hz, wz))
             for y, z in zip(y_strings, z_strings)

@@ -340,6 +340,9 @@ def pipelined_stack_apply(
         def block_fn(layer_params, h):
             return block_module.apply({"params": layer_params}, h)
 
+        if remat:  # honor the flag in the non-TP branch too
+            block_fn = jax.checkpoint(block_fn)
+
     if shard:
         if param_specs is None:
             stacked = _shard_stacked(stacked, mesh, axis)
