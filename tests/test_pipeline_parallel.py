@@ -363,3 +363,133 @@ def test_dp_x_pp_x_tp_pretrain_step_matches_sequential():
         lambda a, b: float(jnp.abs(a - b).max()), s_seq.params, s_3d.params
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# sequence parallelism (Megatron SP) on the tp axis
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "axes,micro",
+    [
+        ({"pipe": 2, "model": 2}, 4),
+        ({"pipe": 4, "model": 2}, 4),
+        ({"data": 2, "pipe": 2, "model": 2}, 2),
+    ],
+)
+def test_pp_x_tp_x_sp_matches_sequential(setup, axes, micro):
+    """Token-sharded residual stream (all_gather + psum_scatter per branch)
+    must be exactly the plain-TP / sequential math; S=12 divides by tp."""
+    block, params, x, y_ref = setup
+    ndev = int(np.prod(list(axes.values())))
+    mesh = make_mesh(axes, devices=jax.devices()[:ndev])
+    y = pipelined_stack_apply(
+        block, params, x, mesh, depth=DEPTH, num_microbatches=micro,
+        batch_axis="data" if "data" in axes else None, tp_axis="model",
+        sequence_parallel=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+
+def test_sp_gradients_match_sequential(setup):
+    block, params, x, _ = setup
+    mesh = make_mesh({"pipe": 2, "model": 2}, devices=jax.devices()[:4])
+
+    def loss_sp(p):
+        return pipelined_stack_apply(
+            block, p, x, mesh, depth=DEPTH, num_microbatches=4,
+            tp_axis="model", sequence_parallel=True, shard=False,
+        ).sum()
+
+    def loss_seq(p):
+        h = x
+        for i in range(DEPTH):
+            h = block.apply({"params": p[f"blocks_{i}"]}, h)
+        return h.sum()
+
+    g_sp = jax.jit(jax.grad(loss_sp))(params)
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
+    scale = max(
+        jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).max()), g_seq))
+    )
+    diff = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_sp, g_seq)
+        )
+    )
+    assert diff <= 1e-5 * scale + 1e-5, (diff, scale)
+
+
+def test_sp_validation_and_auto_fallback(setup):
+    """sequence_parallel=True on an indivisible S raises; "auto" falls back
+    to plain TP and still matches the sequential stack; SP without tp_axis
+    is rejected."""
+    block, params, x, _ = setup
+    mesh = make_mesh({"pipe": 2, "model": 2}, devices=jax.devices()[:4])
+    x_odd = x[:, : S - 1]  # 11 tokens: not divisible by tp=2
+    with pytest.raises(ValueError, match="not divisible"):
+        pipelined_stack_apply(
+            block, params, x_odd, mesh, depth=DEPTH, num_microbatches=4,
+            tp_axis="model", sequence_parallel=True,
+        )
+    with pytest.raises(ValueError, match="requires tp_axis"):
+        pipelined_stack_apply(
+            block, params, x, mesh, depth=DEPTH, num_microbatches=4,
+            sequence_parallel=True,
+        )
+    y = pipelined_stack_apply(
+        block, params, x_odd, mesh, depth=DEPTH, num_microbatches=4,
+        tp_axis="model", sequence_parallel="auto",
+    )
+    y_ref = x_odd
+    for i in range(DEPTH):
+        y_ref = block.apply({"params": params[f"blocks_{i}"]}, y_ref)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+
+def test_sp_pretrain_step_matches_sequential():
+    """dp x pp x tp + SP("auto") MAE pretrain step == sequential: the
+    encoder stack (keep 7 + cls = 8 tokens at mask 0.5625) runs SP while the
+    decoder (17 tokens) auto-falls back to plain TP in the same step."""
+    import optax
+
+    from textmae_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+    from textmae_tpu.parallel import shard_batch
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.mae_engine import (
+        make_mae_pretrain_step,
+        make_pipelined_mae_pretrain_step,
+    )
+
+    cfg = MAEConfig(
+        img_size=32, patch_size=8, embed_dim=16, depth=4, num_heads=2,
+        decoder_embed_dim=8, decoder_depth=2, decoder_num_heads=2,
+        use_pallas=False,
+    )
+    model = MaskedAutoencoderViT(cfg)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "mask": r}, x, 0.5625)
+    )(rng, imgs)
+    tx = optax.adam(1e-3)
+
+    mesh = make_mesh(
+        {"data": 2, "pipe": 2, "model": 2}, devices=jax.devices()[:8]
+    )
+    s_seq = TrainState.create(variables["params"], tx)
+    s_sp = TrainState.create(variables["params"], tx)
+    step_seq = make_mae_pretrain_step(model, tx, 0.5625, donate=False)
+    step_sp = make_pipelined_mae_pretrain_step(
+        model, tx, mesh, 0.5625, num_microbatches=2,
+        batch_axis="data", tp_axis="model", sequence_parallel="auto",
+        donate=False,
+    )
+    key = jax.random.PRNGKey(7)
+    for _ in range(2):
+        s_seq, m_seq = step_seq(s_seq, imgs, key)
+        s_sp, m_sp = step_sp(s_sp, shard_batch(imgs, mesh, axis="data"), key)
+        assert float(m_seq["loss"]) == pytest.approx(float(m_sp["loss"]), rel=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_seq.params, s_sp.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4

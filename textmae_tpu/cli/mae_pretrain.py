@@ -54,6 +54,13 @@ def build_parser():
                    help="with --pipeline_stages: tensor-parallel width "
                         "INSIDE each pipeline stage (dp x pp x tp mesh; "
                         "heads and MLP hidden width must divide evenly)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="with --tensor_parallel: Megatron SP on the model "
+                        "axis — residual stream token-sharded between "
+                        "blocks (all_gather + psum_scatter per branch); "
+                        "applied per stack where the sequence length "
+                        "divides (the MAE decoder's odd 197 falls back to "
+                        "plain TP)")
     return p
 
 
@@ -150,6 +157,9 @@ def main(argv=None):
             num_microbatches=args.microbatches,
             batch_axis="data" if dp > 1 else None,
             tp_axis="model" if tp > 1 else None,
+            sequence_parallel=(
+                "auto" if args.sequence_parallel and tp > 1 else False
+            ),
         )
     else:
         mesh = make_mesh()

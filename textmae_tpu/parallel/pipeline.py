@@ -80,6 +80,7 @@ def pipeline_apply(
     axis: str = "pipe",
     batch_axis: str = None,
     param_specs=None,
+    xs_spec=None,
 ):
     """Run `depth` layers over P pipeline stages on M microbatches.
 
@@ -145,7 +146,8 @@ def pipeline_apply(
         outbuf = jnp.where(pid == n_stages - 1, outbuf, jnp.zeros_like(outbuf))
         return lax.psum(outbuf, axis)
 
-    xs_spec = P(None, batch_axis) if batch_axis else P()
+    if xs_spec is None:
+        xs_spec = P(None, batch_axis) if batch_axis else P()
     if param_specs is None:
         param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
     in_specs = (param_specs, xs_spec)
@@ -235,6 +237,7 @@ def make_tp_block_fn(
     norm_eps: float = 1e-6,
     dtype=jnp.float32,
     remat: bool = False,
+    sp: bool = False,
 ) -> Callable:
     """(local_params, x) -> x: one pre-norm ViT block on tp-local shards.
 
@@ -243,6 +246,15 @@ def make_tp_block_fn(
     MLP hidden units are independent, so each member computes a partial sum
     of the row-parallel matmuls and one lax.psum per residual branch
     completes them. LayerNorm statistics run in float32 like flax's.
+
+    sp=True adds Megatron-style SEQUENCE parallelism on the same axis: the
+    residual stream between blocks stays sharded over tokens (N, S/T, D), so
+    layernorms and residual adds run on 1/T of the activations; the psum of
+    each residual branch decomposes into all_gather (before the
+    column-parallel matmul, which needs full sequence) + psum_scatter (after
+    the row-parallel one). Same total ICI bytes as the two psums, 1/T the
+    activation memory — and pipeline-stage ppermute transfers shrink by T.
+    S must divide by the axis size (the caller checks).
     """
 
     def layernorm(x, p):
@@ -256,6 +268,8 @@ def make_tp_block_fn(
         from textmae_tpu.ops.attention import attention_reference
 
         y = layernorm(h, p["norm1"])
+        if sp:  # tokens local -> full sequence for the column-parallel qkv
+            y = lax.all_gather(y, tp_axis, axis=1, tiled=True)
         a = p["attn"]
         # column-parallel qkv on the local heads: (N, S, 3, Hl, Dh)
         qkv = jnp.einsum(
@@ -265,17 +279,27 @@ def make_tp_block_fn(
             qkv = qkv + a["qkv"]["bias"].astype(dtype)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         o = attention_reference(q, k, v)  # (N, Hl, S, Dh)
-        # row-parallel proj: partial sums over local heads, completed by psum
+        # row-parallel proj: partial sums over local heads, completed by
+        # psum (TP) or psum_scatter back to token shards (TP+SP)
         o = jnp.einsum(
             "nhse,hed->nsd", o, a["proj"]["kernel"].astype(dtype)
         )
-        o = lax.psum(o, tp_axis) + a["proj"]["bias"].astype(dtype)
-        h = h + o
+        if sp:
+            o = lax.psum_scatter(o, tp_axis, scatter_dimension=1, tiled=True)
+        else:
+            o = lax.psum(o, tp_axis)
+        h = h + o + a["proj"]["bias"].astype(dtype)
         y = layernorm(h, p["norm2"])
+        if sp:
+            y = lax.all_gather(y, tp_axis, axis=1, tiled=True)
         m = p["mlp"]
         z = y @ m["fc1"]["kernel"].astype(dtype) + m["fc1"]["bias"].astype(dtype)
         z = jax.nn.gelu(z, approximate=False)
-        z = lax.psum(z @ m["fc2"]["kernel"].astype(dtype), tp_axis)
+        z = z @ m["fc2"]["kernel"].astype(dtype)
+        if sp:
+            z = lax.psum_scatter(z, tp_axis, scatter_dimension=1, tiled=True)
+        else:
+            z = lax.psum(z, tp_axis)
         z = z + m["fc2"]["bias"].astype(dtype)
         return h + z
 
@@ -296,6 +320,7 @@ def pipelined_stack_apply(
     tp_axis: str = None,
     remat: bool = False,
     shard: bool = True,
+    sequence_parallel=False,
 ) -> jnp.ndarray:
     """Pipeline a flax Block stack over `axis`: drop-in for the sequential
     f"{prefix}{i}" loop the models run (e.g. ops/vit.py TransformerStack).
@@ -311,11 +336,33 @@ def pipelined_stack_apply(
                   MLP hidden units sharded over `tp_axis` and one psum per
                   residual branch. block_module.num_heads must divide by
                   mesh.shape[tp_axis] (and so must the MLP hidden width).
+    sequence_parallel  Megatron SP on `tp_axis` (requires tp_axis): the
+                  residual stream between blocks stays token-sharded, the
+                  per-branch psum decomposes into all_gather + psum_scatter
+                  (see make_tp_block_fn). True requires S % tp == 0 (raises
+                  otherwise); "auto" enables SP exactly when S divides —
+                  ViT sequences are often odd (cls token), so "auto" lets
+                  e.g. the MAE encoder (50 tokens) use SP while the decoder
+                  (197) falls back to plain TP in the same step.
     """
     n = x.shape[0]
     if n % num_microbatches:
         raise ValueError(f"batch {n} not divisible by {num_microbatches} microbatches")
     stacked = stack_layer_params(params, depth, prefix)
+
+    use_sp = False
+    if sequence_parallel:
+        if tp_axis is None:
+            raise ValueError("sequence_parallel requires tp_axis")
+        seq = x.shape[1]
+        if seq % mesh.shape[tp_axis] == 0:
+            use_sp = True
+        elif sequence_parallel != "auto":
+            raise ValueError(
+                f"sequence length {seq} not divisible by "
+                f"tp={mesh.shape[tp_axis]} (pass sequence_parallel='auto' "
+                "to fall back to plain TP on such stacks)"
+            )
 
     if tp_axis is not None:
         tp = mesh.shape[tp_axis]
@@ -333,6 +380,7 @@ def pipelined_stack_apply(
             norm_eps=block_module.norm_eps,
             dtype=block_module.dtype,
             remat=remat,
+            sp=use_sp,
         )
     else:
         param_specs = None
@@ -354,8 +402,15 @@ def pipelined_stack_apply(
             )
 
     xs = x.reshape(num_microbatches, n // num_microbatches, *x.shape[1:])
+    # under SP the microbatch stack is token-sharded over tp_axis: shard_map
+    # hands each member its (M, B_local, S/T, D) slice, the block keeps the
+    # residual stream in that layout, and the output spec reassembles S
+    xs_spec = (
+        P(None, batch_axis, tp_axis) if use_sp else None
+    )
     ys = pipeline_apply(
         block_fn, stacked, xs, mesh,
         axis=axis, batch_axis=batch_axis, param_specs=param_specs,
+        xs_spec=xs_spec,
     )
     return ys.reshape(n, *x.shape[1:])

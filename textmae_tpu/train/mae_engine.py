@@ -58,6 +58,7 @@ def make_pipelined_mae_pretrain_step(
     axis: str = "pipe",
     batch_axis: str = None,
     tp_axis: str = None,
+    sequence_parallel=False,
     donate: bool = True,
 ):
     """Pretrain step with the encoder/decoder block stacks run as pipeline
@@ -77,6 +78,12 @@ def make_pipelined_mae_pretrain_step(
     blocks (parallel.pipeline.make_tp_block_fn) with heads / MLP hidden
     units sharded over it. num_heads and the MLP hidden width of both
     stacks must divide by mesh.shape[tp_axis].
+
+    sequence_parallel: Megatron SP on tp_axis (residual stream token-sharded
+    between blocks; see parallel.pipeline.pipelined_stack_apply). Pass
+    "auto" for MAE: the encoder sequence (e.g. 50 kept tokens at 0.75
+    masking) usually divides while the decoder's (196 + cls = 197) does
+    not — "auto" applies SP per stack exactly where it divides.
     """
     from textmae_tpu.models.mae import MaskedAutoencoderViT as M
     from textmae_tpu.ops.vit import Block
@@ -107,7 +114,7 @@ def make_pipelined_mae_pretrain_step(
             enc_block, params, x, mesh, depth=cfg.depth,
             num_microbatches=num_microbatches, prefix="blocks_", axis=axis,
             batch_axis=batch_axis, tp_axis=tp_axis, remat=cfg.remat,
-            shard=False,
+            shard=False, sequence_parallel=sequence_parallel,
         )
         x = model.apply(v, x, method=M.encode_norm)
         x = model.apply(v, x, ids_restore, method=M.decode_tokens)
@@ -116,6 +123,7 @@ def make_pipelined_mae_pretrain_step(
             num_microbatches=num_microbatches, prefix="decoder_blocks_",
             axis=axis, batch_axis=batch_axis, tp_axis=tp_axis,
             remat=cfg.remat, shard=False,
+            sequence_parallel=sequence_parallel,
         )
         pred = model.apply(v, x, method=M.decode_pred)
         return model.apply(v, imgs, pred, mask, method=M.forward_loss)
