@@ -346,3 +346,75 @@ def test_service_device_codec_matches_host(setup, service):
     out_d = dev.decompress(blob_host)  # decode the host blob on device
     with Image.open(io.BytesIO(out_h)) as a, Image.open(io.BytesIO(out_d)) as b:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_service_pipeline_endpoint(setup):
+    """POST /pipeline serves the 3-stage workload: caption -> real codec
+    round trip -> caption-conditioned refine, with per-item JSON results."""
+    import base64
+    import urllib.request
+
+    from textmae_tpu.captioning import Blip2Captioner, Blip2Config
+    from textmae_tpu.cli.serve import CodecService, make_handler
+    from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
+
+    model, variables, _, _ = setup
+    svc = CodecService(
+        model, variables, max_batch=2, batch_window_ms=5.0,
+        captioner=Blip2Captioner(Blip2Config.tiny()),
+        refiner=SDXLRefiner(RefinerConfig.tiny()),
+    )
+    rgb = (np.random.default_rng(3).random((80, 70, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+
+    out = json.loads(svc.pipeline(buf.getvalue()))
+    assert out["stages"] == ["caption", "compress", "decompress", "refine"]
+    assert out["caption"]  # hash-tokenizer fallback still yields text
+    assert out["bpp"] > 0
+    png = base64.b64decode(out["refined_png_b64"])
+    with Image.open(io.BytesIO(png)) as im:
+        assert im.size == (70, 80)  # restored to the original (W, H)
+
+    # over HTTP, concurrently (dynamic batching path)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/pipeline"
+
+        def post(_):
+            req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        with ThreadPoolExecutor(2) as pool:
+            results = list(pool.map(post, range(2)))
+        assert all(r["stages"][-1] == "refine" for r in results)
+        stats = svc.snapshot_stats()
+        assert stats["pipeline_requests"] >= 3  # warmup + direct + http
+        assert stats["pipeline_stages"] == {"caption": True, "refine": True}
+    finally:
+        server.shutdown()
+
+
+def test_service_pipeline_disabled_and_degraded(setup, service):
+    """Without stage models the endpoint is rejected up front; with only a
+    refiner the JSON records the degraded stage list (no caption)."""
+    from textmae_tpu.cli.serve import CodecService
+    from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
+
+    with pytest.raises(ValueError, match="disabled"):
+        service.pipeline(b"anything")
+
+    model, variables, _, _ = setup
+    svc = CodecService(
+        model, variables, max_batch=2, batch_window_ms=5.0, warmup=False,
+        refiner=SDXLRefiner(RefinerConfig.tiny()),
+    )
+    rgb = (np.random.default_rng(4).random((64, 64, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    out = json.loads(svc.pipeline(buf.getvalue()))
+    assert out["stages"] == ["compress", "decompress", "refine"]
+    assert out["caption"] is None

@@ -12,6 +12,9 @@ offline, /root/reference/testing.py:128-165). Design points, TPU-shaped:
   * the wire format is the self-describing container (eval/container.py):
     POST /compress    image file (PNG/JPEG/...) -> container blob
     POST /decompress  container blob            -> PNG reconstruction
+    POST /pipeline    image file -> JSON {caption, bpp, stages,
+                      refined_png_b64} — the full caption -> codec round
+                      trip -> SDXL-refine workload (--pipeline)
     GET  /healthz     liveness + backend
     GET  /stats       request counters, batch-size histogram, latencies.
 
@@ -53,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-slice host alternations — frees the serving "
                         "host's CPU for request handling (streams stay "
                         "byte-identical to the host coders)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="also serve POST /pipeline: caption -> codec round "
+                        "trip -> caption-conditioned SDXL refine, one padded "
+                        "device batch per stage (stage 1/3 weights from "
+                        "$TEXTMAE_BLIP2_PATH / $TEXTMAE_SDXL_PATH; absent "
+                        "stages degrade gracefully)")
+    p.add_argument("--refine-steps", type=int, default=None,
+                   help="denoise steps for the --pipeline refiner")
     return p
 
 
@@ -78,6 +89,8 @@ class CodecService:
         warmup: bool = True,
         normalize: bool = False,
         device_codec: bool = False,
+        captioner=None,
+        refiner=None,
     ):
         from textmae_tpu.eval import MCMCodec
 
@@ -90,21 +103,35 @@ class CodecService:
             device_encode=True if device_codec else None,
         )
         self.codec.update(force=True)
+        # optional 3-stage pipeline endpoint: caption -> codec round trip ->
+        # refine (the north-star workload, served). Either stage may be None
+        # (zero-egress deployments without $TEXTMAE_BLIP2_PATH /
+        # $TEXTMAE_SDXL_PATH): the endpoint degrades to the stages present.
+        self.captioner = captioner
+        self.refiner = refiner
+        self.pipeline_enabled = captioner is not None or refiner is not None
         self.max_batch = max_batch
         self.window = batch_window_ms / 1000.0
         self.stats = {
             "compress_requests": 0,
             "decompress_requests": 0,
+            "pipeline_requests": 0,
             "errors": 0,
             "batch_sizes": Counter(),
             "compress_s": 0.0,
             "decompress_s": 0.0,
+            "pipeline_s": 0.0,
+            "pipeline_stages": {
+                "caption": captioner is not None,
+                "refine": refiner is not None,
+            },
         }
         self._lock = threading.Lock()
         if warmup:
             self._warmup()
-        self._queues = {"c": queue.Queue(), "d": queue.Queue()}
-        for kind in ("c", "d"):
+        kinds = ("c", "d", "p") if self.pipeline_enabled else ("c", "d")
+        self._queues = {k: queue.Queue() for k in kinds}
+        for kind in kinds:
             threading.Thread(target=self._worker, args=(kind,), daemon=True).start()
 
     def _warmup(self) -> None:
@@ -122,6 +149,10 @@ class CodecService:
         (out,) = self._run_decompress([blob])
         if isinstance(out, Exception):  # pragma: no cover
             raise out
+        if self.pipeline_enabled:
+            (pout,) = self._run_pipeline([buf.getvalue()])
+            if isinstance(pout, Exception):  # pragma: no cover
+                raise pout
 
     # -- request side ------------------------------------------------------
     def compress(self, image_bytes: bytes) -> bytes:
@@ -129,6 +160,13 @@ class CodecService:
 
     def decompress(self, container_bytes: bytes) -> bytes:
         return self._submit("d", container_bytes)
+
+    def pipeline(self, image_bytes: bytes) -> bytes:
+        if not self.pipeline_enabled:
+            raise ValueError(
+                "pipeline endpoint disabled (serve started without --pipeline)"
+            )
+        return self._submit("p", image_bytes)
 
     def _submit(self, kind: str, data: bytes) -> bytes:
         req = _Request(data)
@@ -155,11 +193,12 @@ class CodecService:
                     break
             t0 = time.time()
             try:
-                results = (
-                    self._run_compress([r.data for r in batch])
-                    if kind == "c"
-                    else self._run_decompress([r.data for r in batch])
-                )
+                run = {
+                    "c": self._run_compress,
+                    "d": self._run_decompress,
+                    "p": self._run_pipeline,
+                }[kind]
+                results = run([r.data for r in batch])
                 # per-item outcomes: one malformed request must not fail the
                 # innocent requests coalesced into the same device batch
                 n_err = 0
@@ -178,29 +217,30 @@ class CodecService:
                 with self._lock:
                     self.stats["errors"] += len(batch)
             finally:
+                name = {"c": "compress", "d": "decompress", "p": "pipeline"}[kind]
                 with self._lock:
                     self.stats["batch_sizes"][len(batch)] += 1
-                    key = "compress_s" if kind == "c" else "decompress_s"
-                    self.stats[key] += time.time() - t0
-                    rkey = "compress_requests" if kind == "c" else "decompress_requests"
-                    self.stats[rkey] += len(batch)
+                    self.stats[f"{name}_s"] += time.time() - t0
+                    self.stats[f"{name}_requests"] += len(batch)
                 for r in batch:
                     r.event.set()
 
     # -- device work (padded to max_batch for a single compiled shape) ------
-    def _run_compress(self, blobs: List[bytes]) -> List:
-        """Per item: container bytes, or the Exception that item raised."""
-        import jax.numpy as jnp
+    def _prep_images(self, blobs: List[bytes]):
+        """Decode + score a request batch into padded model inputs.
+
+        Returns (imgs, scores, rgbs, orig_sizes, outs, valid): imgs/scores
+        padded to max_batch; rgbs holds the resized RGB uint8 arrays (for
+        the captioner); failed items carry their Exception in outs."""
         from PIL import Image
 
         from textmae_tpu.data.score_maps import total_score_for_image
-        from textmae_tpu.eval import container
-        from textmae_tpu.eval.harness import encode_side_info
 
         n = len(blobs)
         size = self.cfg.img_size
         imgs = np.zeros((self.max_batch, 3, size, size), np.float32)
         scores = np.zeros((self.max_batch, self.cfg.num_patches), np.float32)
+        rgbs = np.zeros((self.max_batch, size, size, 3), np.uint8)
         outs: List = [None] * n
         orig_sizes = [None] * n
         valid = []
@@ -210,7 +250,8 @@ class CodecService:
                     orig_sizes[i] = im.size
                     gray = np.asarray(im.convert("L"))
                     rgb = im.convert("RGB").resize((size, size), Image.BICUBIC)
-                x = np.asarray(rgb, np.float32) / 255.0
+                rgbs[i] = np.asarray(rgb, np.uint8)
+                x = rgbs[i].astype(np.float32) / 255.0
                 if self.normalize:
                     from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
@@ -220,6 +261,17 @@ class CodecService:
                 valid.append(i)
             except Exception as e:
                 outs[i] = e
+        return imgs, scores, rgbs, orig_sizes, outs, valid
+
+    def _run_compress(self, blobs: List[bytes]) -> List:
+        """Per item: container bytes, or the Exception that item raised."""
+        import jax.numpy as jnp
+
+        from textmae_tpu.eval import container
+        from textmae_tpu.eval.harness import encode_side_info
+
+        n = len(blobs)
+        imgs, scores, _, orig_sizes, outs, valid = self._prep_images(blobs)
         if not valid:
             return outs
         streams, ids_restore = self.codec.compress(
@@ -288,6 +340,87 @@ class CodecService:
             outs[i] = buf.getvalue()
         return outs
 
+    def _run_pipeline(self, blobs: List[bytes]) -> List:
+        """Per item: JSON bytes {caption, bpp, stages, refined_png_b64}, or
+        the Exception that item raised.
+
+        The served north-star workload: BLIP-2 caption -> MCM compress ->
+        real-bitstream decompress -> caption-conditioned SDXL refine, one
+        padded device batch per stage. Stages whose models are absent (or
+        that fail at runtime) degrade per batch — the JSON's `stages` field
+        records what actually ran."""
+        import base64
+
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from textmae_tpu.eval.harness import encode_side_info
+
+        n = len(blobs)
+        imgs, scores, rgbs, orig_sizes, outs, valid = self._prep_images(blobs)
+        if not valid:
+            return outs
+
+        # stage 1: caption (padded batch -> one compiled shape)
+        captions = ["a photo"] * self.max_batch
+        ran_caption = False
+        if self.captioner is not None:
+            try:
+                captions = list(self.captioner.caption(rgbs))
+                ran_caption = True
+            except Exception:  # degrade, keep serving
+                pass
+
+        # stage 2: the real codec round trip (bpp from actual stream bits)
+        streams, ids_restore = self.codec.compress(
+            jnp.asarray(imgs), jnp.asarray(scores)
+        )
+        payloads = encode_side_info(
+            ids_restore[:n], self.cfg.num_keep_patches,
+            self.cfg.canonical_keep_order,
+        )
+        x_hat = np.asarray(self.codec.decompress(streams, ids_restore))
+        if self.normalize:
+            from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+            x_hat = x_hat * IMAGENET_STD.reshape(1, 3, 1, 1) + IMAGENET_MEAN.reshape(
+                1, 3, 1, 1
+            )
+        pix = np.clip(x_hat.transpose(0, 2, 3, 1), 0.0, 1.0).astype(np.float32)
+
+        # stage 3: refine the decoded batch, conditioned on the captions
+        ran_refine = False
+        if self.refiner is not None:
+            try:
+                pix = np.asarray(
+                    self.refiner.refine_batch(jnp.asarray(pix), captions)
+                )
+                ran_refine = True
+            except Exception:  # degrade to the reconstruction
+                pass
+
+        num_pixels = self.cfg.img_size * self.cfg.img_size
+        stages = (
+            (["caption"] if ran_caption else [])
+            + ["compress", "decompress"]
+            + (["refine"] if ran_refine else [])
+        )
+        for i in valid:
+            arr = np.clip(pix[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            img = Image.fromarray(arr).resize(orig_sizes[i], Image.BICUBIC)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            bits = streams[i].num_bits() + len(payloads[i]) * 8
+            outs[i] = json.dumps(
+                {
+                    "caption": captions[i] if ran_caption else None,
+                    "bpp": round(bits / num_pixels, 5),
+                    "stages": stages,
+                    "refined_png_b64": base64.b64encode(buf.getvalue()).decode(),
+                }
+            ).encode()
+        return outs
+
     def snapshot_stats(self) -> dict:
         with self._lock:
             s = dict(self.stats)
@@ -338,6 +471,9 @@ def make_handler(service: CodecService):
                 elif self.path == "/decompress":
                     out = service.decompress(data)
                     self._reply(200, out, "image/png")
+                elif self.path == "/pipeline":
+                    out = service.pipeline(data)
+                    self._reply(200, out, "application/json")
                 else:
                     self._reply(404, b"not found", "text/plain")
             except (ValueError, OSError, UnidentifiedImageError, struct.error) as e:
@@ -378,10 +514,27 @@ def main(argv=None):
     if args.path:
         variables = {"params": restore_params_any(args.path, variables["params"])}
 
+    captioner = refiner = None
+    if args.pipeline:
+        try:
+            from textmae_tpu.captioning.convert import load_blip2_weights
+
+            captioner = load_blip2_weights()
+        except Exception as e:
+            print(f"[pipeline: caption stage disabled] {e}", flush=True)
+        try:
+            from textmae_tpu.models.diffusion import Diffuser
+
+            refiner = Diffuser.prepare_model(
+                backend="native", num_inference_steps=args.refine_steps
+            ).refiner
+        except Exception as e:
+            print(f"[pipeline: refine stage disabled] {e}", flush=True)
+
     service = CodecService(
         model, variables, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, normalize=args.normalize,
-        device_codec=args.device_codec,
+        device_codec=args.device_codec, captioner=captioner, refiner=refiner,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving MCM codec on http://{args.host}:{args.port} "
