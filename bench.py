@@ -411,7 +411,10 @@ def main():
                 if bool(emeta.get("normalize", not untrained)):
                     eimgs_model, eto_pixels = imgs_model, to_pixels
                 else:
-                    eimgs_model, eto_pixels = imgs, (lambda x: x)
+                    # clip like the normalize branch (and rd_eval.py) so the
+                    # curve point matches what test_model/rd_eval report
+                    eimgs_model = imgs
+                    eto_pixels = lambda x: jnp.clip(x, 0.0, 1.0)
                 evars = {"params": load_params_npz(extra)}
                 ecodec = MCMCodec(emodel, evars, num_threads=16)
                 ecodec.update(force=True)

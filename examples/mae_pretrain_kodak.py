@@ -23,12 +23,16 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
-HOLDOUT = {"kodim20", "kodim23"}
+DEFAULT_HOLDOUT = "kodim20,kodim23"  # keep in lockstep with rd_sweep/rd_eval
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=60000)
+    p.add_argument("--holdout", type=str, default=DEFAULT_HOLDOUT,
+                   help="comma-separated image stems EXCLUDED from "
+                        "pretraining; recorded in the npz meta so "
+                        "rd_sweep.py --mae-init can reject a leaky split")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--pool", type=int, default=3072)
     p.add_argument("--mask-ratio", type=float, default=0.75)
@@ -70,7 +74,8 @@ def main():
     kodak = find_kodak()
     if kodak is None:
         raise SystemExit("no Kodak directory found")
-    train_files = [f for f in sorted(kodak.glob("*.png")) if f.stem not in HOLDOUT]
+    holdout = {n.strip() for n in args.holdout.split(",") if n.strip()}
+    train_files = [f for f in sorted(kodak.glob("*.png")) if f.stem not in holdout]
     print(f"pretraining on {len(train_files)} images from {kodak}", flush=True)
     pool = CropPool(train_files, args.pool, 224, seed=args.seed, verbose=True)
 
@@ -140,6 +145,7 @@ def main():
             "steps": args.steps,
             "norm_pix_loss": True,
             "normalize": True,
+            "holdout": ",".join(sorted(holdout)),
         },
     )
     print(f"saved {path}", flush=True)

@@ -96,6 +96,25 @@ def main():
     if kodak is None:
         raise SystemExit("no Kodak directory found")
     holdout = {n.strip() for n in args.holdout.split(",") if n.strip()}
+    if args.mae_init:
+        # leakage guard, before any compile: the seeding MAE must not have
+        # trained on this sweep's holdout images (mae_pretrain_kodak.py
+        # records its split in the npz meta); a contaminated init silently
+        # inflates the reported generalization numbers
+        from textmae_tpu.train.checkpoint import load_npz_meta
+
+        mae_holdout = load_npz_meta(Path(args.mae_init)).get("holdout")
+        if mae_holdout is not None:
+            missing = holdout - {
+                n.strip() for n in str(mae_holdout).split(",") if n.strip()
+            }
+            if missing:
+                raise SystemExit(
+                    f"--mae-init {args.mae_init} was pretrained ON this "
+                    f"sweep's holdout images {sorted(missing)} (its own "
+                    f"holdout was '{mae_holdout}'); re-pretrain with "
+                    f"mae_pretrain_kodak.py --holdout {args.holdout}"
+                )
     files = sorted(kodak.glob("*.png"))
     train_files = [f for f in files if f.stem not in holdout]
     eval_files = [f for f in files if f.stem in holdout]

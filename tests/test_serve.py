@@ -418,3 +418,57 @@ def test_service_pipeline_disabled_and_degraded(setup, service):
     out = json.loads(svc.pipeline(buf.getvalue()))
     assert out["stages"] == ["compress", "decompress", "refine"]
     assert out["caption"] is None
+
+    # --pipeline with BOTH stage models absent degrades to the bare codec
+    # round trip (pipeline=True forces the endpoint on)
+    svc2 = CodecService(
+        model, variables, max_batch=2, batch_window_ms=5.0, warmup=False,
+        pipeline=True,
+    )
+    out2 = json.loads(svc2.pipeline(buf.getvalue()))
+    assert out2["stages"] == ["compress", "decompress"]
+    assert out2["caption"] is None and out2["bpp"] > 0
+
+
+def test_service_replicas_byte_identical_and_balanced(setup):
+    """Multi-chip serving = codec replication (eval/codec.py docstring): one
+    full codec per device, batches dispatched to free replicas. Containers
+    must be byte-identical no matter which replica served them, and both
+    directions must decode each other's output."""
+    from textmae_tpu.cli.serve import CodecService
+
+    model, variables, _, _ = setup
+    assert len(jax.local_devices()) >= 2  # conftest forces the 8-dev mesh
+    svc = CodecService(
+        model, variables, max_batch=2, batch_window_ms=5.0, replicas=2,
+    )
+    assert {d.id for d in svc.devices} == {0, 1}
+    assert svc.codecs[0] is not svc.codecs[1]
+
+    rgb = (np.random.default_rng(7).random((96, 96, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+
+    # drive each replica directly: byte-identical containers
+    (blob0,) = svc._run_compress([buf.getvalue()], replica=0)
+    (blob1,) = svc._run_compress([buf.getvalue()], replica=1)
+    assert isinstance(blob0, bytes) and blob0 == blob1
+
+    # cross-replica decode: replica 1 decodes replica 0's container
+    (png0,) = svc._run_decompress([blob0], replica=1)
+    (png1,) = svc._run_decompress([blob1], replica=0)
+    with Image.open(io.BytesIO(png0)) as a, Image.open(io.BytesIO(png1)) as b:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # through the queue under concurrency the replica counter advances and
+    # results stay correct (scheduling may favor one replica; warmup already
+    # exercised both)
+    with ThreadPoolExecutor(4) as pool:
+        blobs = list(pool.map(lambda _: svc.compress(buf.getvalue()), range(4)))
+    assert all(b == blob0 for b in blobs)
+    stats = svc.snapshot_stats()
+    assert stats["replicas"] == 2
+    assert sum(stats["replica_batches"].values()) >= 1
+
+    with pytest.raises(ValueError, match="replicas"):
+        CodecService(model, variables, warmup=False, replicas=99)

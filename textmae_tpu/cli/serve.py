@@ -64,6 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "stages degrade gracefully)")
     p.add_argument("--refine-steps", type=int, default=None,
                    help="denoise steps for the --pipeline refiner")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="codec replicas, one per local device (multi-chip "
+                        "serving: request batches are dispatched to whichever "
+                        "replica is free; containers are byte-identical "
+                        "regardless of which replica served them)")
+    p.add_argument("--refine-random-init", action="store_true",
+                   help="with --pipeline but no $TEXTMAE_SDXL_PATH, serve the "
+                        "reduced-dim RANDOM-WEIGHT refiner anyway (demo/"
+                        "plumbing only — its output is worse than the plain "
+                        "reconstruction; without this flag the refine stage "
+                        "is skipped instead)")
     return p
 
 
@@ -91,25 +102,53 @@ class CodecService:
         device_codec: bool = False,
         captioner=None,
         refiner=None,
+        pipeline: bool = False,
+        replicas: int = 1,
     ):
+        import jax
+
         from textmae_tpu.eval import MCMCodec
 
         self.model = model
         self.cfg = model.config
         self.normalize = normalize
-        self.codec = MCMCodec(
-            model, variables,
-            device_chain=True if device_codec else None,
-            device_encode=True if device_codec else None,
-        )
-        self.codec.update(force=True)
+        # Multi-chip serving is codec REPLICATION, not batch sharding: one
+        # full codec per local device, request batches dispatched to whichever
+        # replica is free. Every replica runs the same compiled program, so
+        # containers are byte-identical regardless of which replica served
+        # them — sharding one batch over a mesh would instead run
+        # differently-partitioned encoder/decoder programs whose last-bit
+        # float differences can desynchronize the rANS stream (see
+        # eval/codec.py module docstring).
+        devices = jax.local_devices()
+        if not 1 <= replicas <= len(devices):
+            raise ValueError(
+                f"replicas={replicas} but {len(devices)} local device(s)"
+            )
+        self.devices = devices[:replicas]
+        host_vars = jax.device_get(variables) if replicas > 1 else variables
+        self.codecs = []
+        for dev in self.devices:
+            with jax.default_device(dev):
+                c = MCMCodec(
+                    model, host_vars if replicas > 1 else variables,
+                    device_chain=True if device_codec else None,
+                    device_encode=True if device_codec else None,
+                )
+                c.update(force=True)
+            self.codecs.append(c)
+        self.codec = self.codecs[0]  # warmup + pipeline stage-2 use replica 0
         # optional 3-stage pipeline endpoint: caption -> codec round trip ->
         # refine (the north-star workload, served). Either stage may be None
         # (zero-egress deployments without $TEXTMAE_BLIP2_PATH /
-        # $TEXTMAE_SDXL_PATH): the endpoint degrades to the stages present.
+        # $TEXTMAE_SDXL_PATH): the endpoint degrades to the stages present —
+        # down to the bare codec round trip when BOTH are absent but the
+        # endpoint was requested (pipeline=True).
         self.captioner = captioner
         self.refiner = refiner
-        self.pipeline_enabled = captioner is not None or refiner is not None
+        self.pipeline_enabled = (
+            pipeline or captioner is not None or refiner is not None
+        )
         self.max_batch = max_batch
         self.window = batch_window_ms / 1000.0
         self.stats = {
@@ -125,6 +164,8 @@ class CodecService:
                 "caption": captioner is not None,
                 "refine": refiner is not None,
             },
+            "replicas": replicas,
+            "replica_batches": Counter(),
         }
         self._lock = threading.Lock()
         if warmup:
@@ -132,23 +173,32 @@ class CodecService:
         kinds = ("c", "d", "p") if self.pipeline_enabled else ("c", "d")
         self._queues = {k: queue.Queue() for k in kinds}
         for kind in kinds:
-            threading.Thread(target=self._worker, args=(kind,), daemon=True).start()
+            # compress/decompress scale across replicas; the pipeline worker
+            # stays on replica 0 (the captioner/refiner params live on the
+            # default device)
+            for ridx in range(replicas if kind in ("c", "d") else 1):
+                threading.Thread(
+                    target=self._worker, args=(kind, ridx), daemon=True
+                ).start()
 
     def _warmup(self) -> None:
         """Compile both directions before accepting traffic: the first real
-        request must not stall on the slice-chain XLA compiles."""
+        request must not stall on the slice-chain XLA compiles. Every replica
+        is warmed (the executable compiles once, but each replica still
+        uploads its params/tables on first use)."""
         from PIL import Image
 
         buf = io.BytesIO()
         Image.new("RGB", (self.cfg.img_size, self.cfg.img_size)).save(
             buf, format="PNG"
         )
-        (blob,) = self._run_compress([buf.getvalue()])
-        if isinstance(blob, Exception):  # pragma: no cover - warmup must work
-            raise blob
-        (out,) = self._run_decompress([blob])
-        if isinstance(out, Exception):  # pragma: no cover
-            raise out
+        for ridx in range(len(self.codecs)):
+            (blob,) = self._run_compress([buf.getvalue()], replica=ridx)
+            if isinstance(blob, Exception):  # pragma: no cover - must work
+                raise blob
+            (out,) = self._run_decompress([blob], replica=ridx)
+            if isinstance(out, Exception):  # pragma: no cover
+                raise out
         if self.pipeline_enabled:
             (pout,) = self._run_pipeline([buf.getvalue()])
             if isinstance(pout, Exception):  # pragma: no cover
@@ -164,7 +214,7 @@ class CodecService:
     def pipeline(self, image_bytes: bytes) -> bytes:
         if not self.pipeline_enabled:
             raise ValueError(
-                "pipeline endpoint disabled (serve started without --pipeline)"
+                "pipeline endpoint disabled (start serve with --pipeline)"
             )
         return self._submit("p", image_bytes)
 
@@ -178,7 +228,7 @@ class CodecService:
         return req.result
 
     # -- batching worker ----------------------------------------------------
-    def _worker(self, kind: str) -> None:
+    def _worker(self, kind: str, ridx: int = 0) -> None:
         q = self._queues[kind]
         while True:
             batch = [q.get()]
@@ -198,7 +248,7 @@ class CodecService:
                     "d": self._run_decompress,
                     "p": self._run_pipeline,
                 }[kind]
-                results = run([r.data for r in batch])
+                results = run([r.data for r in batch], replica=ridx)
                 # per-item outcomes: one malformed request must not fail the
                 # innocent requests coalesced into the same device batch
                 n_err = 0
@@ -220,6 +270,7 @@ class CodecService:
                 name = {"c": "compress", "d": "decompress", "p": "pipeline"}[kind]
                 with self._lock:
                     self.stats["batch_sizes"][len(batch)] += 1
+                    self.stats["replica_batches"][ridx] += 1
                     self.stats[f"{name}_s"] += time.time() - t0
                     self.stats[f"{name}_requests"] += len(batch)
                 for r in batch:
@@ -263,10 +314,15 @@ class CodecService:
                 outs[i] = e
         return imgs, scores, rgbs, orig_sizes, outs, valid
 
-    def _run_compress(self, blobs: List[bytes]) -> List:
-        """Per item: container bytes, or the Exception that item raised."""
-        import jax.numpy as jnp
+    def _replica_ctx(self, ridx: int):
+        """Pin every uncommitted H2D upload in the block to the replica's
+        device (params were committed there at construction; jit follows)."""
+        import jax
 
+        return jax.default_device(self.devices[ridx])
+
+    def _run_compress(self, blobs: List[bytes], replica: int = 0) -> List:
+        """Per item: container bytes, or the Exception that item raised."""
         from textmae_tpu.eval import container
         from textmae_tpu.eval.harness import encode_side_info
 
@@ -274,9 +330,8 @@ class CodecService:
         imgs, scores, _, orig_sizes, outs, valid = self._prep_images(blobs)
         if not valid:
             return outs
-        streams, ids_restore = self.codec.compress(
-            jnp.asarray(imgs), jnp.asarray(scores)
-        )
+        with self._replica_ctx(replica):
+            streams, ids_restore = self.codecs[replica].compress(imgs, scores)
         payloads = encode_side_info(
             ids_restore[:n], self.cfg.num_keep_patches, self.cfg.canonical_keep_order
         )
@@ -290,9 +345,8 @@ class CodecService:
                 outs[i] = e
         return outs
 
-    def _run_decompress(self, blobs: List[bytes]) -> List:
+    def _run_decompress(self, blobs: List[bytes], replica: int = 0) -> List:
         """Per item: PNG bytes, or the Exception that item raised."""
-        import jax.numpy as jnp  # noqa: F401  (device math inside codec)
         from PIL import Image
 
         from textmae_tpu.eval import container
@@ -323,7 +377,10 @@ class CodecService:
         while len(streams) < self.max_batch:  # pad to the compiled shape
             streams.append(streams[-1])
             ids.append(ids[-1])
-        x_hat = np.asarray(self.codec.decompress(streams, np.stack(ids)))
+        with self._replica_ctx(replica):
+            x_hat = np.asarray(
+                self.codecs[replica].decompress(streams, np.stack(ids))
+            )
         if self.normalize:
             from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
@@ -340,9 +397,10 @@ class CodecService:
             outs[i] = buf.getvalue()
         return outs
 
-    def _run_pipeline(self, blobs: List[bytes]) -> List:
+    def _run_pipeline(self, blobs: List[bytes], replica: int = 0) -> List:
         """Per item: JSON bytes {caption, bpp, stages, refined_png_b64}, or
-        the Exception that item raised.
+        the Exception that item raised. Always runs on replica 0 (the
+        captioner/refiner params live on the default device).
 
         The served north-star workload: BLIP-2 caption -> MCM compress ->
         real-bitstream decompress -> caption-conditioned SDXL refine, one
@@ -425,6 +483,7 @@ class CodecService:
         with self._lock:
             s = dict(self.stats)
             s["batch_sizes"] = dict(self.stats["batch_sizes"])
+            s["replica_batches"] = dict(self.stats["replica_batches"])
         return s
 
 
@@ -516,25 +575,40 @@ def main(argv=None):
 
     captioner = refiner = None
     if args.pipeline:
+        import os
+
         try:
             from textmae_tpu.captioning.convert import load_blip2_weights
 
             captioner = load_blip2_weights()
         except Exception as e:
             print(f"[pipeline: caption stage disabled] {e}", flush=True)
-        try:
-            from textmae_tpu.models.diffusion import Diffuser
+        # a production daemon must not silently serve the random-weight
+        # zero-egress fallback refiner (its output is worse than the plain
+        # reconstruction); without real weights the refine stage is skipped
+        # unless --refine-random-init explicitly opts in
+        if os.environ.get("TEXTMAE_SDXL_PATH") or args.refine_random_init:
+            try:
+                from textmae_tpu.models.diffusion import Diffuser
 
-            refiner = Diffuser.prepare_model(
-                backend="native", num_inference_steps=args.refine_steps
-            ).refiner
-        except Exception as e:
-            print(f"[pipeline: refine stage disabled] {e}", flush=True)
+                refiner = Diffuser.prepare_model(
+                    backend="native", num_inference_steps=args.refine_steps
+                ).refiner
+            except Exception as e:
+                print(f"[pipeline: refine stage disabled] {e}", flush=True)
+        else:
+            print(
+                "[pipeline: refine stage disabled] TEXTMAE_SDXL_PATH unset "
+                "(pass --refine-random-init to serve the reduced-dim "
+                "random-weight refiner for demos)",
+                flush=True,
+            )
 
     service = CodecService(
         model, variables, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, normalize=args.normalize,
         device_codec=args.device_codec, captioner=captioner, refiner=refiner,
+        pipeline=args.pipeline, replicas=args.replicas,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving MCM codec on http://{args.host}:{args.port} "

@@ -595,7 +595,6 @@ class MCMCodec:
         )
 
         n = imgs.shape[0]
-        gt, et = self.gauss_tables, self.eb_tables
         hz, wz = self._z_shape()
         cz = cfg.hyperprior_depth
         t_y = cfg.num_slices * cfg.keep_grid * cfg.keep_grid * cfg.group_ch
