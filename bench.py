@@ -508,6 +508,7 @@ def supervise() -> int:
     timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
     backoffs = [30.0, 90.0]
     last_err = "unknown"
+    salvaged = None  # headline from a child that crashed during extras
 
     for attempt in range(attempts):
         env = dict(os.environ, BENCH_CHILD="1")
@@ -543,11 +544,24 @@ def supervise() -> int:
         if proc.returncode == 0 and result is not None:
             print(json.dumps(result))
             return 0
+        if result is not None:
+            # the child measured a headline, then died in the optional
+            # stages (rc != 0). Keep it: retry for a complete run, but never
+            # discard an actual measurement in favor of the value-0.0 line.
+            salvaged = result
         tail = "\n".join(proc.stdout.splitlines()[-8:])
         last_err = f"attempt {attempt + 1} rc={proc.returncode}; tail: {tail[-500:]}"
         print(f"[bench] {last_err}", file=sys.stderr, flush=True)
         if attempt < attempts - 1:
             time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
+    if salvaged is not None:
+        salvaged["partial"] = True
+        salvaged["note"] = (
+            f"{salvaged.get('note', '')} "
+            "[child crashed during optional stages; headline salvaged]"
+        ).strip()
+        print(json.dumps(salvaged))
+        return 0
     print(
         json.dumps(
             {

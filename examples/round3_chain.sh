@@ -46,8 +46,11 @@ run_rate2() {
   for attempt in 1 2 3 4 5 6 7 8; do
     [ -f "$npz" ] && { echo "rate2 done"; return 0; }
     local newest resume remaining
+    # exclude Orbax .orbax-checkpoint-tmp staging dirs a mid-save kill
+    # leaves behind (same rule as train/checkpoint.py latest_step_checkpoint)
     newest=$(ls -d /tmp/rate2_ckpt/demo_step* 2>/dev/null \
-             | sed 's/.*demo_step//' | sort -n | tail -1)
+             | grep -v 'checkpoint-tmp' \
+             | sed 's/.*demo_step//' | grep -E '^[0-9]+$' | sort -n | tail -1)
     if [ -n "${newest:-}" ]; then
       resume="--resume /tmp/rate2_ckpt/demo_step${newest}"
       remaining=$((total - newest))

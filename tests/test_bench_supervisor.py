@@ -105,3 +105,24 @@ def test_supervise_salvage_handles_bytes_stdout(monkeypatch, capsys):
     rc, lines = _run_supervise(monkeypatch, capsys, fake_run)
     assert rc == 0
     assert json.loads(lines[-1])["partial"] is True
+
+
+def test_supervise_salvages_headline_on_child_crash(monkeypatch, capsys):
+    """A child that prints the headline then dies (rc != 0) during the
+    optional stages must not score 0.0: the supervisor retries for a full
+    run, then falls back to the measured headline."""
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(1)
+        return subprocess.CompletedProcess(
+            args=a, returncode=137,
+            stdout=HEADLINE + "\nfull-dims stage: device halt\n",
+        )
+
+    rc, lines = _run_supervise(monkeypatch, capsys, fake_run)
+    assert rc == 0
+    assert len(calls) == 2  # retried for a complete run first
+    obj = json.loads(lines[-1])
+    assert obj["partial"] is True and obj["value"] == 61.5
+    assert "salvaged" in obj["note"]

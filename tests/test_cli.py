@@ -116,3 +116,47 @@ def test_apply_npz_meta(tmp_path):
     args = eval_cli_parser().parse_args(["-d", "x", "-p", str(path), "other.npz"])
     _apply_npz_meta(args)
     assert args.num_keep_patches == 144 and not args.reference_order
+
+
+def test_apply_npz_meta_shared_across_clis(tmp_path):
+    """serve and pipeline self-configure keep/order/normalize from the same
+    __meta__ provenance helper as test_model — a served rd_sweep checkpoint
+    must not silently decode garbage (the ADVICE-r2 class, on the serving
+    surface)."""
+    from textmae_tpu.cli.pipeline import build_parser as pipeline_parser
+    from textmae_tpu.cli.serve import build_parser as serve_parser
+    from textmae_tpu.train.checkpoint import (
+        apply_npz_meta_to_args,
+        save_params_npz,
+    )
+
+    path = tmp_path / "ck.npz"
+    save_params_npz(
+        path, {"w": np.zeros((2,), np.float32)},
+        meta={"normalize": True, "num_keep_patches": 49,
+              "canonical_keep_order": False},
+    )
+
+    args = serve_parser().parse_args(["-p", str(path)])
+    apply_npz_meta_to_args(args, args.path)
+    assert args.num_keep_patches == 49
+    assert args.reference_order is True
+    assert args.normalize is True
+
+    # explicit flags win over meta
+    args = serve_parser().parse_args(
+        ["-p", str(path), "--num-keep-patches", "144"])
+    apply_npz_meta_to_args(args, args.path)
+    assert args.num_keep_patches == 144
+
+    # pipeline's tri-state normalize: None resolves from meta
+    args = pipeline_parser().parse_args(["-i", "x.png", "-p", str(path)])
+    assert args.normalize is None
+    apply_npz_meta_to_args(args, args.checkpoint)
+    assert args.normalize is True and args.num_keep_patches == 49
+    assert args.reference_order is True
+
+    # no meta / no file: untouched
+    args = serve_parser().parse_args([])
+    apply_npz_meta_to_args(args, None)
+    assert args.num_keep_patches is None and not args.reference_order

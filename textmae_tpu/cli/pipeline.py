@@ -34,7 +34,13 @@ def build_parser():
     p.add_argument("--random-init", action="store_true",
                    help="skip checkpoint loading even if one is available")
     p.add_argument("--input-size", type=int, default=224)
-    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--num-keep-patches", type=int, default=None,
+                   help="kept patches (default: the checkpoint's __meta__ "
+                        "provenance when -p is an npz, else 144)")
+    p.add_argument("--reference-order", action="store_true",
+                   help="canonical_keep_order=False: the reference's token "
+                        "ordering. Required for reference-trained / rd_sweep "
+                        "checkpoints (auto-set from npz __meta__)")
     p.add_argument("--no-caption", action="store_true")
     p.add_argument("--caption-backend", choices=("native", "torch"), default="native",
                    help="native = flax BLIP-2 jitted on TPU (textmae_tpu.captioning, "
@@ -89,8 +95,31 @@ def main(argv=None):
             print(f"[stage 1 skipped] {e}")
 
     # ---- stage 2: compression ---------------------------------------------
+    # --random-init overrides ANY checkpoint, including an explicit -p
+    ckpt = None if args.random_init else args.checkpoint
+    if ckpt is None and not args.random_init:
+        # prefer the committed trained weights (trained with --normalize;
+        # that npz predates the __meta__ provenance, hence the explicit
+        # normalize defaulting here)
+        default = Path(__file__).resolve().parents[2] / "checkpoints" / "mcm_kodak_l1_150k.f16.npz"
+        if default.is_file() and args.num_keep_patches in (None, 144) and args.input_size == 224:
+            ckpt = str(default)
+            if args.normalize is None:
+                args.normalize = True
+
+    # self-configure keep count / token ordering / normalize from the
+    # checkpoint's training provenance BEFORE the config is built: a
+    # mismatched flag silently decodes wrong pixels (ADVICE r2)
+    if ckpt:
+        from textmae_tpu.train.checkpoint import apply_npz_meta_to_args
+
+        apply_npz_meta_to_args(args, ckpt)
+    if args.num_keep_patches is None:
+        args.num_keep_patches = 144
+
     cfg = MCMConfig(
         img_size=args.input_size, num_keep_patches=args.num_keep_patches,
+        canonical_keep_order=not args.reference_order,
         dtype=jnp.bfloat16,
     )
     model = MCM(cfg)
@@ -100,35 +129,11 @@ def main(argv=None):
     )
     scores = jnp.asarray(score[None])
 
-    # --random-init overrides ANY checkpoint, including an explicit -p
-    ckpt = None if args.random_init else args.checkpoint
-    if ckpt is None and not args.random_init:
-        # prefer the committed trained weights (trained with --normalize)
-        default = Path(__file__).resolve().parents[2] / "checkpoints" / "mcm_kodak_l1_150k.f16.npz"
-        if default.is_file() and args.num_keep_patches == 144 and args.input_size == 224:
-            ckpt = str(default)
-            if args.normalize is None:
-                args.normalize = True
-
     rng = jax.random.PRNGKey(0)
     if ckpt and ckpt.endswith(".npz"):
-        from textmae_tpu.train.checkpoint import load_npz_meta, load_params_npz
+        from textmae_tpu.train.checkpoint import load_params_npz
 
         variables = {"params": load_params_npz(ckpt)}
-        # self-configure from the checkpoint's training provenance: an npz
-        # trained with --normalize silently decodes wrong pixel values when
-        # the flag is not re-passed (ADVICE r2)
-        meta = load_npz_meta(ckpt)
-        if "normalize" in meta:
-            trained_norm = bool(meta["normalize"])
-            if args.normalize is None:
-                args.normalize = trained_norm
-                print(f"normalize={trained_norm} (from checkpoint meta)")
-            elif bool(args.normalize) != trained_norm:
-                print(
-                    f"WARNING: --normalize={bool(args.normalize)} but the "
-                    f"checkpoint was trained with normalize={trained_norm}"
-                )
     else:
         variables = jax.jit(
             lambda r: model.init(

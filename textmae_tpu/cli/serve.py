@@ -41,7 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("-p", "--path", type=str, default=None, help="checkpoint to serve")
     p.add_argument("--input-size", type=int, default=224)
-    p.add_argument("--num-keep-patches", type=int, default=144)
+    p.add_argument("--num-keep-patches", type=int, default=None,
+                   help="kept patches (default: the checkpoint's __meta__ "
+                        "provenance when -p is an npz, else 144)")
+    p.add_argument("--reference-order", action="store_true",
+                   help="canonical_keep_order=False: the reference's token "
+                        "ordering. Required for reference-trained / rd_sweep "
+                        "checkpoints (auto-set from npz __meta__)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
     p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
@@ -131,7 +137,7 @@ class CodecService:
         for dev in self.devices:
             with jax.default_device(dev):
                 c = MCMCodec(
-                    model, host_vars if replicas > 1 else variables,
+                    model, host_vars,
                     device_chain=True if device_codec else None,
                     device_encode=True if device_codec else None,
                 )
@@ -551,13 +557,23 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from textmae_tpu.models.mcm import MCM, MCMConfig
-    from textmae_tpu.train.checkpoint import restore_params_any
+    from textmae_tpu.train.checkpoint import (
+        apply_npz_meta_to_args,
+        restore_params_any,
+    )
     from textmae_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    # a served checkpoint trained with --normalize / non-default keep count /
+    # reference ordering must not silently serve garbage: self-configure
+    # still-default flags from the npz provenance, exactly like test_model
+    apply_npz_meta_to_args(args, args.path)
+    if args.num_keep_patches is None:
+        args.num_keep_patches = 144
     cfg = MCMConfig(
         img_size=args.input_size,
         num_keep_patches=args.num_keep_patches,
+        canonical_keep_order=not args.reference_order,
         dtype=jnp.bfloat16 if args.half else jnp.float32,
     )
     model = MCM(cfg)

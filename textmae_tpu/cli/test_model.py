@@ -66,36 +66,10 @@ def _apply_npz_meta(args) -> None:
     a checkpoint trained with --normalize / a non-default keep count decodes
     garbage when evaluated without them.
     """
-    meta = {}
-    if len(args.paths) == 1 and args.paths[0] and args.paths[0].endswith(".npz"):
-        from textmae_tpu.train.checkpoint import load_npz_meta
+    if len(args.paths) == 1:
+        from textmae_tpu.train.checkpoint import apply_npz_meta_to_args
 
-        meta = load_npz_meta(args.paths[0])
-    updates = {}
-    if "num_keep_patches" in meta:
-        mk = int(meta["num_keep_patches"])
-        if args.num_keep_patches is None:
-            updates["num_keep_patches"] = mk
-        elif args.num_keep_patches != mk:
-            print(f"warning: --num-keep-patches {args.num_keep_patches} "
-                  f"contradicts checkpoint meta num_keep_patches={mk}",
-                  file=sys.stderr)
-    if "canonical_keep_order" in meta:
-        mc = bool(meta["canonical_keep_order"])
-        if not mc and not args.reference_order:
-            updates["reference_order"] = True
-        elif mc and args.reference_order:
-            print("warning: --reference-order set but checkpoint meta says "
-                  "canonical_keep_order=True", file=sys.stderr)
-    if "normalize" in meta:
-        if bool(meta["normalize"]) and not args.normalize:
-            updates["normalize"] = True
-        elif not bool(meta["normalize"]) and args.normalize:
-            print("warning: --normalize set but checkpoint meta says "
-                  "normalize=False", file=sys.stderr)
-    for k, v in updates.items():
-        print(f"note: {k}={v} from checkpoint meta", file=sys.stderr)
-        setattr(args, k, v)
+        apply_npz_meta_to_args(args, args.paths[0])
     if args.num_keep_patches is None:
         args.num_keep_patches = 144
 

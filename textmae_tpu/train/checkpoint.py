@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -158,6 +159,56 @@ def load_npz_meta(path: os.PathLike) -> Dict:
                 v = z[k]
                 meta[k[len("__meta__/"):]] = v.item() if v.ndim == 0 else v
     return meta
+
+
+def apply_npz_meta_to_args(args, path: Optional[os.PathLike]) -> None:
+    """Self-configure still-default CLI flags from an npz checkpoint's
+    ``__meta__`` provenance (``save_params_npz(meta=...)``).
+
+    One call site for test_model / serve / pipeline — a checkpoint trained
+    with ``--normalize``, a non-default keep count, or the reference token
+    ordering silently decodes garbage when evaluated or SERVED without the
+    matching flags (the misconfiguration class ADVICE r2 #4 flagged).
+    Handles, when the attribute exists on ``args``:
+
+      * ``num_keep_patches`` — applied only while still the ``None`` parser
+        default (an explicit value wins; a contradiction warns)
+      * ``reference_order`` — set when meta says ``canonical_keep_order`` is
+        False; an explicit flag contradicting the meta warns
+      * ``normalize`` — tri-state aware (``None`` = decide from meta;
+        store_true flags are promoted when the meta says True)
+    """
+    if not (path and str(path).endswith(".npz") and Path(path).is_file()):
+        return
+    meta = load_npz_meta(path)
+    updates = {}
+    if "num_keep_patches" in meta and hasattr(args, "num_keep_patches"):
+        mk = int(meta["num_keep_patches"])
+        if args.num_keep_patches is None:
+            updates["num_keep_patches"] = mk
+        elif args.num_keep_patches != mk:
+            print(f"warning: --num-keep-patches {args.num_keep_patches} "
+                  f"contradicts checkpoint meta num_keep_patches={mk}",
+                  file=sys.stderr)
+    if "canonical_keep_order" in meta and hasattr(args, "reference_order"):
+        mc = bool(meta["canonical_keep_order"])
+        if not mc and not args.reference_order:
+            updates["reference_order"] = True
+        elif mc and args.reference_order:
+            print("warning: --reference-order set but checkpoint meta says "
+                  "canonical_keep_order=True", file=sys.stderr)
+    if "normalize" in meta and hasattr(args, "normalize"):
+        mn = bool(meta["normalize"])
+        if args.normalize is None or (mn and not args.normalize):
+            if bool(args.normalize) is not mn:
+                updates["normalize"] = mn
+        elif bool(args.normalize) != mn:
+            print(f"warning: --normalize={bool(args.normalize)} but the "
+                  f"checkpoint was trained with normalize={mn}",
+                  file=sys.stderr)
+    for k, v in updates.items():
+        print(f"note: {k}={v} from checkpoint meta", file=sys.stderr)
+        setattr(args, k, v)
 
 
 def restore_params_any(path: os.PathLike, params_template: Dict) -> Dict:
