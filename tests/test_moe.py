@@ -1,0 +1,187 @@
+"""Expert-parallel MoE layer (parallel/moe.py).
+
+Equivalence strategy mirrors the TP/PP tests: prove the routed computation
+against the dense Mlp it replaces (identical experts -> identical function),
+then prove the expert-sharded execution bit-equal to the replicated one on
+the virtual 8-device CPU mesh (host-platform collectives are deterministic).
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from textmae_tpu.ops.vit import Mlp
+from textmae_tpu.parallel import make_mesh, shard_batch
+from textmae_tpu.parallel.moe import (
+    MoEBlock,
+    MoEMlp,
+    moe_capacity,
+    moe_param_shardings,
+    shard_moe_params,
+)
+
+D, H, T, N, E = 16, 32, 12, 4, 4
+
+
+def _x(rng, n=N, t=T, d=D):
+    return jnp.asarray(rng.standard_normal((n, t, d)).astype(np.float32))
+
+
+def test_capacity_static():
+    assert moe_capacity(196, 8, 1, 1.25) == 32  # ceil(196*1.25/8)=31 -> 32
+    assert moe_capacity(4, 8, 1, 1.0) == 8  # floor at one VREG row
+    assert moe_capacity(196, 4, 2, 2.0) == 200  # top-2 doubles demand
+
+
+def test_identical_experts_match_dense_mlp(rng):
+    """With every expert holding the dense Mlp's weights and capacity >= T
+    (no drops), routing is a no-op: MoE(x) == Mlp(x) for any router."""
+    dense = Mlp(D, H)
+    x = _x(rng)
+    dvars = dense.init(jax.random.PRNGKey(0), x)
+    moe = MoEMlp(D, H, num_experts=E, top_k=1, capacity_factor=float(E))
+    mvars = moe.init(jax.random.PRNGKey(1), x)
+
+    dk = dvars["params"]
+    params = dict(mvars["params"])
+    params["wi"] = jnp.tile(dk["fc1"]["kernel"][None], (E, 1, 1))
+    params["bi"] = jnp.tile(dk["fc1"]["bias"][None], (E, 1))
+    params["wo"] = jnp.tile(dk["fc2"]["kernel"][None], (E, 1, 1))
+    params["bo"] = jnp.tile(dk["fc2"]["bias"][None], (E, 1))
+
+    out = moe.apply({"params": params}, x)
+    ref = dense.apply(dvars, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_top2_gates_renormalized(rng):
+    """top_k=2 with identical experts must also equal the dense Mlp (gates
+    sum to 1 after renormalization), not 2x it."""
+    dense = Mlp(D, H)
+    x = _x(rng)
+    dvars = dense.init(jax.random.PRNGKey(0), x)
+    moe = MoEMlp(D, H, num_experts=E, top_k=2, capacity_factor=2.0 * E)
+    mvars = moe.init(jax.random.PRNGKey(1), x)
+    dk = dvars["params"]
+    params = dict(mvars["params"])
+    params["wi"] = jnp.tile(dk["fc1"]["kernel"][None], (E, 1, 1))
+    params["bi"] = jnp.tile(dk["fc1"]["bias"][None], (E, 1))
+    params["wo"] = jnp.tile(dk["fc2"]["kernel"][None], (E, 1, 1))
+    params["bo"] = jnp.tile(dk["fc2"]["bias"][None], (E, 1))
+    out = moe.apply({"params": params}, x)
+    ref = dense.apply(dvars, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_capacity_overflow_drops_to_zero(rng):
+    """Tokens past an expert's capacity contribute zero (the residual wiring
+    in MoEBlock then passes them through unchanged)."""
+    x = _x(rng, n=1)
+    moe = MoEMlp(D, H, num_experts=1, top_k=1, capacity_factor=0.5)
+    cap = moe_capacity(T, 1, 1, 0.5)
+    assert cap < T
+    mvars = moe.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(moe.apply(mvars, x))
+    # with a single expert, tokens [0:cap) are served in order, rest dropped
+    assert np.abs(out[0, cap:]).max() == 0.0
+    assert np.abs(out[0, :cap]).max() > 0.0
+
+
+def test_aux_loss_sown_and_bounded(rng):
+    x = _x(rng)
+    moe = MoEMlp(D, H, num_experts=E)
+    mvars = moe.init(jax.random.PRNGKey(0), x)
+    _, inter = moe.apply(mvars, x, mutable=["intermediates"])
+    (aux,) = inter["intermediates"]["moe_aux_loss"]
+    # Switch aux loss: ~1 at near-uniform routing (exact 1 at perfect
+    # balance), at most E when one expert takes everything
+    assert 0.5 < float(aux) <= float(E) + 1e-4
+
+
+def test_router_noise_changes_routing_only_in_training(rng):
+    x = _x(rng)
+    moe = MoEMlp(D, H, num_experts=E, router_noise=10.0)
+    mvars = moe.init(jax.random.PRNGKey(0), x)
+    det = moe.apply(mvars, x, deterministic=True)
+    det2 = moe.apply(mvars, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    noisy = moe.apply(
+        mvars, x, deterministic=False, rngs={"router": jax.random.PRNGKey(3)}
+    )
+    assert not np.allclose(np.asarray(noisy), np.asarray(det))
+
+
+@pytest.fixture(scope="module")
+def ep_mesh():
+    return make_mesh({"data": 2, "expert": 4}, devices=jax.devices()[:8])
+
+
+def test_expert_sharded_forward_matches_replicated(rng, ep_mesh):
+    """Full MoEBlock: replicated vs (data x expert)-sharded execution must be
+    bit-identical on the CPU mesh (deterministic host collectives)."""
+    x = _x(rng, n=4, t=T, d=D)
+    block = MoEBlock(D, num_heads=2, num_experts=E, use_pallas=False)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(block.apply(variables, x))
+
+    sblock = MoEBlock(
+        D, num_heads=2, num_experts=E, use_pallas=False,
+        mesh=ep_mesh, expert_axis="expert",
+    )
+    sparams = shard_moe_params(variables["params"], ep_mesh)
+    sx = shard_batch(x, ep_mesh)
+    out = np.asarray(jax.jit(lambda p, v: sblock.apply({"params": p}, v))(sparams, sx))
+    np.testing.assert_allclose(out, base, atol=1e-5)
+    # the stacked expert weights really are sharded over the expert axis
+    sh = moe_param_shardings(variables["params"], ep_mesh)
+    assert sh["moe"]["wi"].spec == jax.sharding.PartitionSpec("expert", None, None)
+    assert sparams["moe"]["wi"].sharding.spec[0] == "expert"
+
+
+def test_expert_sharded_train_step(rng, ep_mesh):
+    """One optimizer step over the ep mesh: grads flow through router +
+    experts, sharded update == replicated update."""
+    x = _x(rng, n=4)
+    block = MoEBlock(D, num_heads=2, num_experts=E, use_pallas=False)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    # sgd, not adam: adam's first step is ±lr·sign(g), which amplifies
+    # reassociation noise on near-zero grads into full-lr sign flips
+    tx = optax.sgd(1e-2)
+
+    def loss_fn(p, v, model):
+        out, inter = model.apply(
+            {"params": p}, v, mutable=["intermediates"]
+        )
+        (aux,) = inter["intermediates"]["moe"]["moe_aux_loss"]
+        return jnp.mean(out**2) + 0.01 * aux
+
+    def step(p, v, model):
+        loss, g = jax.value_and_grad(lambda q: loss_fn(q, v, model))(p)
+        upd, _ = tx.update(g, tx.init(p), p)
+        return loss, optax.apply_updates(p, upd)
+
+    loss_r, new_r = jax.jit(lambda p, v: step(p, v, block))(variables["params"], x)
+
+    sblock = MoEBlock(
+        D, num_heads=2, num_experts=E, use_pallas=False,
+        mesh=ep_mesh, expert_axis="expert",
+    )
+    sparams = shard_moe_params(variables["params"], ep_mesh)
+    loss_s, new_s = jax.jit(lambda p, v: step(p, v, sblock))(
+        sparams, shard_batch(x, ep_mesh)
+    )
+    assert np.isfinite(float(loss_s))
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        new_s,
+        new_r,
+    )
+    # expert grads exist: the expert weights moved
+    assert not np.allclose(
+        np.asarray(new_s["moe"]["wi"]), np.asarray(variables["params"]["moe"]["wi"])
+    )

@@ -21,6 +21,12 @@ from textmae_tpu.parallel.pipeline import (
     stack_layer_params,
     unstack_layer_params,
 )
+from textmae_tpu.parallel.moe import (
+    MoEBlock,
+    MoEMlp,
+    moe_param_shardings,
+    shard_moe_params,
+)
 from textmae_tpu.parallel.sharding_rules import (
     shard_params,
     transformer_param_shardings,
@@ -39,4 +45,8 @@ __all__ = [
     "pipelined_stack_apply",
     "stack_layer_params",
     "unstack_layer_params",
+    "MoEBlock",
+    "MoEMlp",
+    "moe_param_shardings",
+    "shard_moe_params",
 ]
