@@ -185,3 +185,67 @@ def test_expert_sharded_train_step(rng, ep_mesh):
     assert not np.allclose(
         np.asarray(new_s["moe"]["wi"]), np.asarray(variables["params"]["moe"]["wi"])
     )
+
+
+# ---------------------------------------------------------------------------
+# MoE inside the MAE pretrain path (MAEConfig.moe_experts + cli flags)
+# ---------------------------------------------------------------------------
+def _moe_mae():
+    from textmae_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+
+    cfg = MAEConfig(
+        img_size=64, embed_dim=32, depth=2, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        use_pallas=False, moe_experts=4, moe_every=2,
+    )
+    return MaskedAutoencoderViT(cfg), cfg
+
+
+def test_mae_moe_pretrain_step_descends(rng, ep_mesh):
+    """MAE with an MoE encoder block trains: aux loss folded in, loss
+    descends, and the expert-parallel step matches the replicated one."""
+    import optax
+
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.mae_engine import make_mae_pretrain_step
+
+    model, cfg = _moe_mae()
+    imgs = jnp.asarray(rng.random((4, 3, 64, 64)).astype(np.float32))
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "mask": r}, x, 0.75)
+    )(jax.random.PRNGKey(0), imgs)
+    # block 1 (moe_every=2) is the MoE block, block 0 stays dense
+    assert "moe" in variables["params"]["blocks_1"]
+    assert "mlp" in variables["params"]["blocks_0"]
+
+    tx = optax.sgd(1e-3)
+    step = make_mae_pretrain_step(model, tx, 0.75, donate=False)
+    state = TrainState.create(variables["params"], tx)
+    state1, m1 = step(state, imgs, jax.random.PRNGKey(1))
+    state2, m2 = step(state1, imgs, jax.random.PRNGKey(1))
+    # mask resampling per step makes single-step descent noisy; finiteness +
+    # progression is the house assertion (see test_mae_pretrain_step_descends)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(state2.step) == 2
+
+    # aux loss really participates: zeroing its weight changes the loss
+    step0 = make_mae_pretrain_step(model, tx, 0.75, donate=False, moe_aux_weight=0.0)
+    _, m0 = step0(state, imgs, jax.random.PRNGKey(1))
+    assert float(m0["loss"]) < float(m1["loss"])
+
+    # expert-parallel: shard the stacked expert weights, same first step
+    sparams = shard_moe_params(variables["params"], ep_mesh)
+    sstate = TrainState.create(sparams, tx)
+    _, ms = step(sstate, shard_batch(imgs, ep_mesh), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(ms["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
+def test_mae_pretrain_cli_moe_flags():
+    from textmae_tpu.cli.mae_pretrain import build_parser
+
+    args = build_parser().parse_args(
+        ["--data_path", "/tmp", "--moe_experts", "8", "--expert_parallel", "4",
+         "--moe_top_k", "2"]
+    )
+    assert args.moe_experts == 8 and args.expert_parallel == 4
+    assert args.moe_top_k == 2 and args.moe_every == 2

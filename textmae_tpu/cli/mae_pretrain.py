@@ -54,6 +54,19 @@ def build_parser():
                    help="with --pipeline_stages: tensor-parallel width "
                         "INSIDE each pipeline stage (dp x pp x tp mesh; "
                         "heads and MLP hidden width must divide evenly)")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="mixture-of-experts encoder: every --moe_every'th "
+                        "encoder block's MLP becomes an MoE layer with this "
+                        "many experts (0 = dense; parallel/moe.py)")
+    p.add_argument("--moe_top_k", type=int, default=1,
+                   help="experts routed per token (1 or 2)")
+    p.add_argument("--moe_every", type=int, default=2,
+                   help="MoE layer placement period over encoder blocks")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="with --moe_experts: width of the \"expert\" mesh "
+                        "axis — stacked expert weights shard over it, the "
+                        "rest of the devices form the data axis (experts "
+                        "and device count must divide evenly)")
     p.add_argument("--sequence_parallel", action="store_true",
                    help="with --tensor_parallel: Megatron SP on the model "
                         "axis — residual stream token-sharded between "
@@ -91,10 +104,17 @@ def main(argv=None):
     )
 
     factory = getattr(mae_models, args.model)
+    if args.moe_experts > 0 and args.pipeline_stages > 1:
+        raise SystemExit("--moe_experts does not compose with "
+                         "--pipeline_stages yet (MoE blocks are not part of "
+                         "the pipelined block runner)")
     model = factory(
         img_size=args.input_size,
         norm_pix_loss=args.norm_pix_loss,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        moe_experts=args.moe_experts,
+        moe_top_k=args.moe_top_k,
+        moe_every=args.moe_every,
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -103,6 +123,21 @@ def main(argv=None):
         lambda r: model.init({"params": r, "mask": r}, sample, args.mask_ratio)
     )(rng)
     params = variables["params"]
+
+    ep_mesh = None
+    if args.expert_parallel > 1:
+        if args.moe_experts % args.expert_parallel:
+            raise SystemExit("--moe_experts must divide by --expert_parallel")
+        ep = args.expert_parallel
+        dp = max(len(jax.devices()) // ep, 1)
+        ep_mesh = make_mesh(
+            {"data": dp, "expert": ep}, devices=jax.devices()[: dp * ep]
+        )
+        from textmae_tpu.parallel import shard_moe_params
+
+        # placed before optimizer init so the Adam moments inherit the
+        # expert sharding (zeros_like follows its operand's sharding)
+        params = shard_moe_params(params, ep_mesh)
 
     world = jax.process_count()
     steps_per_epoch = max(len(dataset) // (args.batch_size * world), 1)
@@ -162,7 +197,7 @@ def main(argv=None):
             ),
         )
     else:
-        mesh = make_mesh()
+        mesh = ep_mesh if ep_mesh is not None else make_mesh()
         step = make_mae_pretrain_step(model, tx, args.mask_ratio)
     writer = ScalarWriter(args.log_dir if jax.process_index() == 0 else None)
     step_rng = jax.random.PRNGKey(args.seed ^ 0xAE)

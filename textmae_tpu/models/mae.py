@@ -44,6 +44,14 @@ class MAEConfig:
     dtype: object = jnp.float32
     use_pallas: bool = True
     remat: bool = False
+    # mixture-of-experts encoder (V-MoE placement: every `moe_every`-th
+    # encoder block's MLP becomes an MoE layer; 0 experts = dense ViT).
+    # Expert parallelism comes from parallel.moe.shard_moe_params placing
+    # the stacked expert weights over an "expert" mesh axis.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
 
     @property
     def num_patches(self) -> int:
@@ -80,8 +88,22 @@ class MaskedAutoencoderViT(nn.Module):
         self.pos_embed = jnp.asarray(
             get_2d_sincos_pos_embed(cfg.embed_dim, grid, cls_token=True)
         )[None]
+        if cfg.moe_experts > 0:
+            from textmae_tpu.parallel.moe import MoEBlock
+
+            moe_cls = nn.remat(MoEBlock) if cfg.remat else MoEBlock
+            is_moe = lambda i: i % cfg.moe_every == cfg.moe_every - 1
+        else:
+            moe_cls, is_moe = None, lambda i: False
         self.blocks = [
-            block_cls(
+            moe_cls(
+                cfg.embed_dim, cfg.num_heads, num_experts=cfg.moe_experts,
+                mlp_ratio=cfg.mlp_ratio, top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                use_pallas=cfg.use_pallas, dtype=dt, name=f"blocks_{i}",
+            )
+            if is_moe(i)
+            else block_cls(
                 cfg.embed_dim, cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 use_pallas=cfg.use_pallas, dtype=dt, name=f"blocks_{i}",
             )

@@ -188,6 +188,16 @@ class MoEBlock(nn.Module):
         )(y, deterministic=deterministic)
 
 
+def collect_moe_aux(intermediates) -> jnp.ndarray:
+    """Sum every sown "moe_aux_loss" leaf in an intermediates collection
+    (one per MoE layer per call); 0.0 when the model has no MoE layers."""
+    total = jnp.asarray(0.0)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(intermediates):
+        if any("moe_aux_loss" == str(getattr(p, "key", p)) for p in path):
+            total = total + leaf
+    return total
+
+
 def moe_param_shardings(params, mesh: Mesh, axis: str = "expert"):
     """NamedSharding tree: dim-0 expert sharding for stacked expert params
     (paths `.../moe/{wi,wo,bi,bo}`), replication elsewhere. Composes with

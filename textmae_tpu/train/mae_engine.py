@@ -39,8 +39,24 @@ def _make_update_step(loss_fn, tx, donate: bool):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_mae_pretrain_step(model, tx, mask_ratio: float = 0.75, donate: bool = True):
+def make_mae_pretrain_step(
+    model, tx, mask_ratio: float = 0.75, donate: bool = True,
+    moe_aux_weight: float = 0.01,
+):
+    # MoE encoders (MAEConfig.moe_experts > 0) sow a load-balance aux loss
+    # per MoE layer; fold it into the objective with a small weight (the
+    # Switch-transformer default regime). Dense models skip the mutable pass.
+    has_moe = getattr(getattr(model, "config", None), "moe_experts", 0) > 0
+
     def loss_fn(params, imgs, rng):
+        if has_moe:
+            from textmae_tpu.parallel.moe import collect_moe_aux
+
+            (loss, _, _), inter = model.apply(
+                {"params": params}, imgs, mask_ratio, training=True,
+                rngs={"mask": rng}, mutable=["intermediates"],
+            )
+            return loss + moe_aux_weight * collect_moe_aux(inter)
         loss, _, _ = model.apply(
             {"params": params}, imgs, mask_ratio, training=True, rngs={"mask": rng}
         )
