@@ -240,6 +240,60 @@ def test_mae_moe_pretrain_step_descends(rng, ep_mesh):
     np.testing.assert_allclose(float(ms["loss"]), float(m1["loss"]), rtol=1e-5)
 
 
+def test_vit_moe_finetune_arc(rng, tmp_path):
+    """Pretrain -> finetune hand-off: a MoE-MAE's encoder (npz distribution
+    file) loads into a MoE ViT classifier, and the classifier train step
+    folds the router aux loss."""
+    import optax
+
+    from textmae_tpu.cli.mae_finetune import load_finetune_checkpoint
+    from textmae_tpu.models.vit import ViTConfig, VisionTransformer
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.checkpoint import save_params_npz
+    from textmae_tpu.train.mae_engine import make_classifier_train_step
+
+    mae, _ = _moe_mae()
+    imgs = jnp.asarray(rng.random((2, 3, 64, 64)).astype(np.float32))
+    mvars = jax.jit(
+        lambda r, x: mae.init({"params": r, "mask": r}, x, 0.75)
+    )(jax.random.PRNGKey(0), imgs)
+    npz = save_params_npz(tmp_path / "mae_moe.npz", mvars["params"], dtype=np.float32)
+
+    vit = VisionTransformer(ViTConfig(
+        img_size=64, num_classes=10, embed_dim=32, depth=2, num_heads=2,
+        use_pallas=False, moe_experts=4, moe_every=2,
+    ))
+    vparams = jax.jit(lambda r, x: vit.init(r, x))(
+        jax.random.PRNGKey(1), imgs
+    )["params"]
+    loaded = load_finetune_checkpoint(vparams, npz, vit.config)
+    # the MoE expert stacks and router came from the pretrained encoder
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks_1"]["moe"]["wi"]),
+        np.asarray(mvars["params"]["blocks_1"]["moe"]["wi"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks_1"]["moe"]["router"]["kernel"]),
+        np.asarray(mvars["params"]["blocks_1"]["moe"]["router"]["kernel"]),
+    )
+    # the classifier head stays at its own init (not in the MAE tree)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["head"]["kernel"]), np.asarray(vparams["head"]["kernel"])
+    )
+
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+    tx = optax.sgd(1e-3)
+    step = make_classifier_train_step(vit, tx, 10, mixup=False, donate=False)
+    state = TrainState.create(loaded, tx)
+    _, m = step(state, imgs, labels, jax.random.PRNGKey(2))
+    step0 = make_classifier_train_step(
+        vit, tx, 10, mixup=False, donate=False, moe_aux_weight=0.0
+    )
+    _, m0 = step0(state, imgs, labels, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m0["loss"]) < float(m["loss"])  # aux really participates
+
+
 def test_mae_pretrain_cli_moe_flags():
     from textmae_tpu.cli.mae_pretrain import build_parser
 

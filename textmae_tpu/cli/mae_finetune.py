@@ -21,7 +21,15 @@ def build_parser():
     p.add_argument("--model", default="vit_large_patch16",
                    choices=["vit_base_patch16", "vit_large_patch16", "vit_huge_patch14"])
     p.add_argument("--nb_classes", type=int, default=1000)
-    p.add_argument("--finetune", default=None, help="pretrained MAE/ViT checkpoint (torch or orbax)")
+    p.add_argument("--finetune", default=None,
+                   help="pretrained MAE/ViT checkpoint (torch .pth or this "
+                        "framework's .npz distribution file)")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="MoE encoder blocks — must mirror the pretrain "
+                        "config so blocks_i param trees line up "
+                        "(cli.mae_pretrain --moe_experts)")
+    p.add_argument("--moe_top_k", type=int, default=1)
+    p.add_argument("--moe_every", type=int, default=2)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--warmup_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=32)
@@ -71,14 +79,28 @@ def evaluate(eval_step, params, dataset, batch_size, num_workers):
 
 
 def load_finetune_checkpoint(params, path, model_cfg):
-    """Torch MAE/ViT checkpoint -> classifier params: drop mismatched head,
-    interpolate pos_embed (main_finetune.py:245-262)."""
+    """Pretrained MAE/ViT checkpoint -> classifier params: drop mismatched
+    head, interpolate pos_embed (main_finetune.py:245-262).
+
+    Accepts the torch layouts the reference consumes AND this framework's
+    own flat ``.npz`` distribution files (save_params_npz — e.g. an MAE
+    pretrained with cli.mae_pretrain, including MoE encoders): the flax tree
+    merges directly (decoder_* keys skip because the classifier has no such
+    keys; the MAE's sincos pos_embed is not a param, so the classifier keeps
+    its learnable init)."""
     from textmae_tpu.ops.pos_embed import interpolate_pos_embed
     from textmae_tpu.train.checkpoint import (
         _load_torch_state_dict,
         mae_torch_to_flax,
         merge_pretrained,
     )
+
+    from pathlib import Path as _P
+
+    if _P(path).suffix == ".npz":
+        from textmae_tpu.train.checkpoint import load_params_npz
+
+        return merge_pretrained(params, load_params_npz(path), strict_shapes=False)
 
     sd = _load_torch_state_dict(path)
     converted = mae_torch_to_flax(sd, encoder_prefix="blocks", decoder_prefix="__drop")
@@ -130,6 +152,9 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         img_size=args.input_size,
         drop_path=args.drop_path,
+        moe_experts=args.moe_experts,
+        moe_top_k=args.moe_top_k,
+        moe_every=args.moe_every,
     )
 
     rng = jax.random.PRNGKey(args.seed)

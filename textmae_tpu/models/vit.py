@@ -28,6 +28,12 @@ class ViTConfig:
     drop_path: float = 0.0  # placeholder; stochastic depth not used in eval
     dtype: object = jnp.float32
     use_pallas: bool = True
+    # MoE encoder blocks (must mirror the MAEConfig the checkpoint was
+    # pretrained with so blocks_i param trees line up; see models/mae.py)
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
 
     @property
     def num_patches(self) -> int:
@@ -68,8 +74,22 @@ class VisionTransformer(nn.Module):
         rates = [
             cfg.drop_path * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)
         ]
+        if cfg.moe_experts > 0:
+            from textmae_tpu.parallel.moe import MoEBlock
+
+            is_moe = lambda i: i % cfg.moe_every == cfg.moe_every - 1
+        else:
+            MoEBlock, is_moe = None, lambda i: False
         self.blocks = [
-            Block(
+            MoEBlock(
+                cfg.embed_dim, cfg.num_heads, num_experts=cfg.moe_experts,
+                mlp_ratio=cfg.mlp_ratio, top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                use_pallas=cfg.use_pallas, dtype=dt, drop_path=rates[i],
+                name=f"blocks_{i}",
+            )
+            if is_moe(i)
+            else Block(
                 cfg.embed_dim, cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 use_pallas=cfg.use_pallas, dtype=dt, drop_path=rates[i],
                 name=f"blocks_{i}",

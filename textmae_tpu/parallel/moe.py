@@ -146,8 +146,9 @@ class MoEMlp(nn.Module):
 class MoEBlock(nn.Module):
     """Pre-norm ViT block with the MLP branch replaced by MoEMlp.
 
-    Mirrors ops.vit.Block's residual wiring exactly, so a capacity-dropped
-    token degrades to the identity branch rather than corrupting the stream.
+    Mirrors ops.vit.Block's residual wiring exactly (including stochastic
+    depth), so a capacity-dropped token degrades to the identity branch
+    rather than corrupting the stream.
     """
 
     dim: int
@@ -160,32 +161,48 @@ class MoEBlock(nn.Module):
     use_pallas: bool = True
     dtype: Dtype = jnp.float32
     norm_eps: float = 1e-6
+    drop_path: float = 0.0
     mesh: Optional[Mesh] = None
     expert_axis: str = "expert"
+
+    def _drop_path(self, branch: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        # identical semantics to ops.vit.Block._drop_path (timm DropPath)
+        if self.drop_path == 0.0 or deterministic:
+            return branch
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("droppath")
+        mask = jax.random.bernoulli(rng, keep, (branch.shape[0], 1, 1))
+        return branch * mask.astype(branch.dtype) / keep
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(
-            self.dim,
-            self.num_heads,
-            qkv_bias=self.qkv_bias,
-            use_pallas=self.use_pallas,
-            dtype=self.dtype,
-            name="attn",
-        )(y)
+        x = x + self._drop_path(
+            Attention(
+                self.dim,
+                self.num_heads,
+                qkv_bias=self.qkv_bias,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name="attn",
+            )(y),
+            deterministic,
+        )
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
-        return x + MoEMlp(
-            self.dim,
-            int(self.dim * self.mlp_ratio),
-            num_experts=self.num_experts,
-            top_k=self.top_k,
-            capacity_factor=self.capacity_factor,
-            dtype=self.dtype,
-            mesh=self.mesh,
-            expert_axis=self.expert_axis,
-            name="moe",
-        )(y, deterministic=deterministic)
+        return x + self._drop_path(
+            MoEMlp(
+                self.dim,
+                int(self.dim * self.mlp_ratio),
+                num_experts=self.num_experts,
+                top_k=self.top_k,
+                capacity_factor=self.capacity_factor,
+                dtype=self.dtype,
+                mesh=self.mesh,
+                expert_axis=self.expert_axis,
+                name="moe",
+            )(y, deterministic=deterministic),
+            deterministic,
+        )
 
 
 def collect_moe_aux(intermediates) -> jnp.ndarray:

@@ -210,12 +210,18 @@ def make_classifier_train_step(
     cutmix_alpha: float = 1.0,
     frozen_backbone: bool = False,
     donate: bool = True,
+    moe_aux_weight: float = 0.01,
 ):
     """Finetune (mixup + smoothing) or linear-probe (frozen features) step.
 
     frozen_backbone stops gradients into everything but the head
     (main_linprobe.py:222-231's requires_grad_(False) analog).
+
+    MoE classifiers (ViTConfig.moe_experts > 0) keep their router balanced
+    during finetuning the same way pretraining does: the sown aux loss folds
+    in with moe_aux_weight.
     """
+    has_moe = getattr(getattr(model, "config", None), "moe_experts", 0) > 0
 
     def loss_fn(params, imgs, labels, rng):
         mix_rng, dp_rng = jax.random.split(rng)
@@ -228,6 +234,14 @@ def make_classifier_train_step(
             head = params["head"]
             frozen = jax.lax.stop_gradient({k: v for k, v in params.items() if k != "head"})
             params = {**frozen, "head": head}
+        if has_moe:
+            from textmae_tpu.parallel.moe import collect_moe_aux
+
+            logits, inter = model.apply(
+                {"params": params}, imgs, deterministic=False,
+                rngs={"droppath": dp_rng}, mutable=["intermediates"],
+            )
+            return soft_cross_entropy(logits, onehot) + moe_aux_weight * collect_moe_aux(inter)
         logits = model.apply(
             {"params": params}, imgs, deterministic=False,
             rngs={"droppath": dp_rng},
