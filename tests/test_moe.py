@@ -294,6 +294,54 @@ def test_vit_moe_finetune_arc(rng, tmp_path):
     assert float(m0["loss"]) < float(m["loss"])  # aux really participates
 
 
+def test_moe_linprobe_frozen_step(rng):
+    """Linear probe on an MoE classifier: moe_aux_weight=0 skips the mutable
+    pass, the frozen backbone (router + experts included) takes no update,
+    and only the head moves."""
+    import optax
+
+    from textmae_tpu.models.vit import ViTConfig, VisionTransformer
+    from textmae_tpu.train import TrainState
+    from textmae_tpu.train.mae_engine import make_classifier_train_step
+
+    vit = VisionTransformer(ViTConfig(
+        img_size=64, num_classes=4, embed_dim=32, depth=2, num_heads=2,
+        use_pallas=False, moe_experts=4, moe_every=2,
+    ))
+    imgs = jnp.asarray(rng.random((2, 3, 64, 64)).astype(np.float32))
+    params = jax.jit(lambda r, x: vit.init(r, x))(jax.random.PRNGKey(0), imgs)["params"]
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+    tx = optax.sgd(1e-2)
+    step = make_classifier_train_step(
+        vit, tx, 4, label_smoothing=0.0, mixup=False,
+        frozen_backbone=True, moe_aux_weight=0.0, donate=False,
+    )
+    state = TrainState.create(params, tx)
+    new_state, m = step(state, imgs, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["blocks_1"]["moe"]["router"]["kernel"]),
+        np.asarray(params["blocks_1"]["moe"]["router"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["blocks_1"]["moe"]["wi"]),
+        np.asarray(params["blocks_1"]["moe"]["wi"]),
+    )
+    assert not np.array_equal(
+        np.asarray(new_state.params["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]),
+    )
+
+
+def test_moe_linprobe_cli_flags():
+    from textmae_tpu.cli.mae_linprobe import build_parser
+
+    args = build_parser().parse_args(
+        ["--data_path", "/tmp", "--moe_experts", "4", "--moe_every", "3"]
+    )
+    assert args.moe_experts == 4 and args.moe_every == 3 and args.moe_top_k == 1
+
+
 def test_mae_pretrain_cli_moe_flags():
     from textmae_tpu.cli.mae_pretrain import build_parser
 

@@ -23,6 +23,11 @@ def build_parser():
                    choices=["vit_base_patch16", "vit_large_patch16", "vit_huge_patch14"])
     p.add_argument("--nb_classes", type=int, default=1000)
     p.add_argument("--finetune", default=None, help="pretrained checkpoint")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="MoE encoder blocks — must mirror the pretrain "
+                        "config so blocks_i param trees line up")
+    p.add_argument("--moe_top_k", type=int, default=1)
+    p.add_argument("--moe_every", type=int, default=2)
     p.add_argument("--epochs", type=int, default=90)
     p.add_argument("--warmup_epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=512)
@@ -57,7 +62,11 @@ def main(argv=None):
     host_seed = args.seed + jax.process_index()
     # linear probe uses cls-token features, no global pool (main_linprobe.py:221)
     factory = getattr(vit_models, args.model)
-    model = factory(num_classes=args.nb_classes, global_pool=False, img_size=args.input_size)
+    model = factory(
+        num_classes=args.nb_classes, global_pool=False, img_size=args.input_size,
+        moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+        moe_every=args.moe_every,
+    )
 
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
@@ -82,7 +91,7 @@ def main(argv=None):
     mesh = make_mesh()
     step = make_classifier_train_step(
         model, tx, args.nb_classes, label_smoothing=0.0, mixup=False,
-        frozen_backbone=True,
+        frozen_backbone=True, moe_aux_weight=0.0,
     )
     step_rng = jax.random.PRNGKey(args.seed ^ 0x11)
     best_acc = 0.0

@@ -219,9 +219,14 @@ def make_classifier_train_step(
 
     MoE classifiers (ViTConfig.moe_experts > 0) keep their router balanced
     during finetuning the same way pretraining does: the sown aux loss folds
-    in with moe_aux_weight.
+    in with moe_aux_weight. Pass moe_aux_weight=0.0 to skip the mutable
+    intermediates pass entirely (linear probe: the router is frozen anyway,
+    so the aux term would be a gradient-free constant).
     """
-    has_moe = getattr(getattr(model, "config", None), "moe_experts", 0) > 0
+    has_moe = (
+        getattr(getattr(model, "config", None), "moe_experts", 0) > 0
+        and moe_aux_weight > 0.0
+    )
 
     def loss_fn(params, imgs, labels, rng):
         mix_rng, dp_rng = jax.random.split(rng)
