@@ -294,6 +294,115 @@ def test_vit_moe_finetune_arc(rng, tmp_path):
     assert float(m0["loss"]) < float(m["loss"])  # aux really participates
 
 
+# ---------------------------------------------------------------------------
+# MoE in the flagship MCM (models/mcm.py moe_experts > 0)
+# ---------------------------------------------------------------------------
+
+
+def _moe_mcm():
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+
+    cfg = MCMConfig(
+        img_size=96, encoder_embed_dim=32, encoder_depth=2,
+        encoder_num_heads=2, decoder_embed_dim=16, decoder_depth=1,
+        decoder_num_heads=2, latent_depth=24, hyperprior_depth=16,
+        num_slices=4, num_keep_patches=16, use_pallas=False,
+        moe_experts=4, moe_every=2,
+    )
+    model = MCM(cfg)
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.random((4, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((4, cfg.num_patches), np.float32))
+    variables = jax.jit(lambda k, x, s: model.init(
+        {"params": k, "noise": k}, x, s, training=False, compute_loss=False
+    ))(jax.random.PRNGKey(0), imgs, scores)
+    return model, cfg, variables, imgs, scores
+
+
+def test_mcm_moe_train_step(rng, ep_mesh):
+    """MCM with an MoE encoder trains: the Switch aux loss surfaces as a
+    metric and actually moves the router; the expert-parallel step matches
+    the replicated one on the CPU mesh."""
+    from textmae_tpu.train import TrainState, configure_optimizers, make_train_step
+
+    model, cfg, variables, imgs, scores = _moe_mcm()
+    # encoder block 1 is MoE (moe_every=2), block 0 stays dense
+    assert "moe" in variables["params"]["encoder_blocks_1"]
+    assert "mlp" in variables["params"]["encoder_blocks_0"]
+
+    tx = configure_optimizers(variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    batch = {"imgs": imgs, "scores": scores}
+    step = make_train_step(model, tx, lmbda=1e-4, donate=False)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    assert "moe_aux_loss" in m1 and np.isfinite(float(m1["moe_aux_loss"]))
+    assert float(m1["moe_aux_loss"]) > 0.0
+
+    # the aux term really reaches the router: a heavier weight produces a
+    # different router update from the same state
+    step_heavy = make_train_step(
+        model, tx, lmbda=1e-4, donate=False, moe_aux_weight=10.0
+    )
+    s2, _ = step_heavy(state, batch, jax.random.PRNGKey(1))
+    r1 = np.asarray(s1.params["encoder_blocks_1"]["moe"]["router"]["kernel"])
+    r2 = np.asarray(s2.params["encoder_blocks_1"]["moe"]["router"]["kernel"])
+    assert not np.array_equal(r1, r2)
+
+    # dense MCM has no moe metric key
+    from textmae_tpu.models.mcm import MCM, MCMConfig
+
+    dense_cfg = MCMConfig(**{**cfg.__dict__, "moe_experts": 0})
+    dense = MCM(dense_cfg)
+    dvars = jax.jit(lambda k, x, s: dense.init(
+        {"params": k, "noise": k}, x, s, training=False, compute_loss=False
+    ))(jax.random.PRNGKey(0), imgs, scores)
+    dtx = configure_optimizers(dvars["params"])
+    dstep = make_train_step(dense, dtx, lmbda=1e-4, donate=False)
+    _, dm = dstep(TrainState.create(dvars["params"], dtx), batch, jax.random.PRNGKey(1))
+    assert "moe_aux_loss" not in dm
+
+    # expert parallel: stacked expert weights sharded over the expert axis,
+    # same first-step loss as replicated (deterministic host collectives)
+    sparams = shard_moe_params(variables["params"], ep_mesh)
+    stx = configure_optimizers(sparams)
+    sstate = TrainState.create(sparams, stx)
+    sstep = make_train_step(model, stx, lmbda=1e-4, donate=False)
+    _, ms = sstep(sstate, shard_batch(batch, ep_mesh), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(ms["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(ms["moe_aux_loss"]), float(m1["moe_aux_loss"]), rtol=1e-5
+    )
+
+
+def test_mcm_moe_codec_roundtrip():
+    """The serving path carries MoE encoders: decompress(compress(x)) equals
+    the eval-mode forward, exactly as for dense MCM."""
+    from textmae_tpu.eval import MCMCodec
+
+    model, cfg, variables, imgs, scores = _moe_mcm()
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    streams, ids_restore = codec.compress(imgs[:2], scores[:2])
+    x_hat = codec.decompress(streams, ids_restore)
+    out = model.apply(
+        variables, imgs[:2], scores[:2], training=False, compute_loss=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(out["x_hat"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_train_cli_moe_flags():
+    from textmae_tpu.cli.train import build_parser
+
+    args = build_parser().parse_args(
+        ["-d", "/tmp", "--moe-experts", "8", "--expert-parallel", "4",
+         "--moe-top-k", "2"]
+    )
+    assert args.moe_experts == 8 and args.expert_parallel == 4
+    assert args.moe_top_k == 2 and args.moe_every == 2
+
+
 def test_moe_linprobe_frozen_step(rng):
     """Linear probe on an MoE classifier: moe_aux_weight=0 skips the mutable
     pass, the frozen backbone (router + experts included) takes no update,

@@ -354,3 +354,39 @@ def test_train_cli_e2e_tensor_parallel(tmp_path, capsys):
     # and throws on any tree/sharding mismatch)
     main(["-e", "2", "--auto-resume", *common])
     assert "resumed from" in capsys.readouterr().out
+
+
+def test_train_cli_e2e_expert_parallel(tmp_path, capsys):
+    """Full train CLI, one epoch, data2 x expert4 over the virtual 8-device
+    mesh: MoE MCM encoder with stacked expert weights sharded over the
+    expert axis before optimizer init, then an EP-aware resume (restored
+    Adam moments re-land expert-sharded)."""
+    from PIL import Image
+
+    from textmae_tpu.cli.generate_scores import process_dataset
+    from textmae_tpu.cli.train import main
+
+    root = tmp_path / "ds"
+    r = np.random.default_rng(0)
+    for split, n in (("train", 4), ("val", 2)):
+        d = root / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (r.random((256, 256, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+    process_dataset("train", root, workers=1)
+    process_dataset("val", root, workers=1)
+
+    out = tmp_path / "out"
+    common = [
+        "-d", str(root), "--batch-size", "4", "--val-batch-size", "2",
+        "--debug-tiny", "--no-vgg", "--moe-experts", "4",
+        "--expert-parallel", "4",
+        "--output-dir", str(out), "--num-workers", "2", "--print-freq", "1",
+    ]
+    main(["-e", "1", *common])
+    assert "mesh data2 x expert4" in capsys.readouterr().out
+    assert list(out.glob("checkpoint*")), "no checkpoint written"
+
+    main(["-e", "2", "--auto-resume", *common])
+    assert "resumed from" in capsys.readouterr().out

@@ -60,6 +60,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "'model' mesh axis of this size (Megatron-style TP, "
                         "parallel.sharding_rules); remaining devices form the "
                         "data axis. 1 = pure DP (reference semantics)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="mixture-of-experts MAE encoder: every "
+                        "--moe-every'th encoder block's MLP becomes this "
+                        "many routed expert FFNs (0 = dense reference "
+                        "semantics; parallel/moe.py)")
+    p.add_argument("--moe-top-k", type=int, default=1,
+                   help="experts routed per token (1 or 2)")
+    p.add_argument("--moe-every", type=int, default=2,
+                   help="MoE block cadence in the encoder (V-MoE: every 2nd)")
+    p.add_argument("--expert-parallel", type=int, default=1,
+                   help="with --moe-experts: width of the 'expert' mesh axis "
+                        "— stacked expert weights shard over it, remaining "
+                        "devices form the data axis")
     p.add_argument("--debug-tiny", action="store_true",
                    help="tiny model dims at the usual --input-size "
                         "(CI/e2e smoke only)")
@@ -98,6 +111,10 @@ def main(argv=None):
     train_ds = ImageScoreDataset(args.dataset, "train", img_size=args.input_size)
     val_ds = ImageScoreDataset(args.dataset, "val", img_size=args.input_size)
 
+    moe_kw = dict(
+        moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+        moe_every=args.moe_every,
+    )
     if args.debug_tiny:
         cfg = MCMConfig(
             img_size=args.input_size,
@@ -107,12 +124,14 @@ def main(argv=None):
             latent_depth=24, hyperprior_depth=16, num_slices=4,
             use_pallas=False,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            **moe_kw,
         )
     else:
         cfg = MCMConfig(
             img_size=args.input_size,
             num_keep_patches=args.num_keep_patches,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            **moe_kw,
         )
     model = MCM(cfg)
     rng = jax.random.PRNGKey(seed)
@@ -133,7 +152,27 @@ def main(argv=None):
     # mesh before optimizer init: with --tensor-parallel, params must land
     # sharded so tx.init's moments inherit the same layout
     tp = args.tensor_parallel
-    if tp > 1:
+    ep = args.expert_parallel
+    if ep > 1:
+        if args.moe_experts <= 0:
+            raise SystemExit("--expert-parallel needs --moe-experts > 0")
+        if args.moe_experts % ep:
+            raise SystemExit("--moe-experts must divide by --expert-parallel")
+        if tp > 1:
+            raise SystemExit(
+                "--expert-parallel does not compose with --tensor-parallel "
+                "in this CLI yet (merge the sharding trees before tx.init)"
+            )
+        ndev = len(jax.devices())
+        dp = max(ndev // ep, 1)
+        mesh = make_mesh({"data": dp, "expert": ep}, devices=jax.devices()[: dp * ep])
+        from textmae_tpu.parallel import shard_moe_params
+
+        # placed before optimizer init so the Adam moments inherit the
+        # expert sharding (zeros_like follows its operand's sharding)
+        params = shard_moe_params(params, mesh)
+        print(f"mesh data{dp} x expert{ep} (EP over MoE encoder blocks)")
+    elif tp > 1:
         ndev = len(jax.devices())
         if ndev % tp:
             raise SystemExit(
@@ -177,16 +216,17 @@ def main(argv=None):
         start_epoch = int(meta.get("epoch", -1)) + 1
         resumed_val_loss = float(meta.get("val_loss", float("inf")))
         print(f"resumed from {resume_path} at epoch {start_epoch}")
-        if tp > 1:
-            # restore yields host arrays; re-pin the TP layout on the params
-            # AND the optimizer moments (two param-tree-sized Adam moments —
-            # left replicated they cost 2x full model size per device and
-            # defeat the sharding established before tx.init above)
-            from textmae_tpu.parallel import shard_params
+        if tp > 1 or ep > 1:
+            # restore yields host arrays; re-pin the TP/EP layout on the
+            # params AND the optimizer moments (two param-tree-sized Adam
+            # moments — left replicated they cost 2x full model size per
+            # device and defeat the sharding established before tx.init)
+            from textmae_tpu.parallel import shard_moe_params, shard_params
 
             from jax.sharding import NamedSharding, PartitionSpec
 
-            sharded = shard_params(state.params, mesh)
+            resharder = shard_params if tp > 1 else shard_moe_params
+            sharded = resharder(state.params, mesh)
             template = tx.init(sharded)
 
             def _pin(restored, t):

@@ -91,6 +91,16 @@ class MCMConfig:
     dtype: Any = jnp.float32  # transformer compute dtype (bf16 for TPU training)
     use_pallas: bool = True
     remat: bool = False
+    # mixture-of-experts MAE encoder (V-MoE placement, parallel/moe.py):
+    # every moe_every'th encoder block's MLP becomes moe_experts routed
+    # expert FFNs. 0 = dense (reference semantics). Expert parallelism comes
+    # from parallel.shard_moe_params placing the stacked expert weights over
+    # an "expert" mesh axis; no reference counterpart (its parallelism is
+    # DP-only, SURVEY.md §2.8).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
 
     def __post_init__(self):
         if self.img_size % self.patch_size:
@@ -184,8 +194,27 @@ class MCM(nn.Module):
         self.encoder_pos_embed = jnp.asarray(
             get_2d_sincos_pos_embed(cfg.encoder_embed_dim, grid, cls_token=True)
         )[None]
+        if cfg.moe_experts > 0:
+            from textmae_tpu.parallel.moe import MoEBlock
+
+            moe_cls = nn.remat(MoEBlock) if cfg.remat else MoEBlock
+            is_moe = lambda i: i % cfg.moe_every == cfg.moe_every - 1
+        else:
+            moe_cls, is_moe = None, lambda i: False
         self.encoder_blocks = [
-            Block(
+            moe_cls(
+                cfg.encoder_embed_dim,
+                cfg.encoder_num_heads,
+                num_experts=cfg.moe_experts,
+                mlp_ratio=cfg.mlp_ratio,
+                top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                use_pallas=cfg.use_pallas,
+                dtype=dt,
+                name=f"encoder_blocks_{i}",
+            )
+            if is_moe(i)
+            else Block(
                 cfg.encoder_embed_dim,
                 cfg.encoder_num_heads,
                 mlp_ratio=cfg.mlp_ratio,

@@ -27,22 +27,37 @@ def make_train_step(
     lmbda: float = 1e-4,
     vgg_variables: Optional[Any] = None,
     donate: bool = True,
+    moe_aux_weight: float = 0.01,
 ) -> Callable[[TrainState, Dict, jax.Array], tuple]:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch = {"imgs": (B, C, H, W), "scores": (B, L)}; shard the batch arrays
     over the data mesh axis before calling and XLA handles the rest.
+
+    MoE encoders (MCMConfig.moe_experts > 0) sow a Switch load-balance aux
+    loss per MoE layer; it folds into the objective with moe_aux_weight and
+    surfaces as the "moe_aux_loss" metric. Dense models skip the mutable
+    pass entirely.
     """
+    has_moe = getattr(getattr(model, "config", None), "moe_experts", 0) > 0
 
     def loss_fn(params, batch, rng):
-        out = model.apply(
-            {"params": params},
-            batch["imgs"],
-            batch["scores"],
-            training=True,
-            vgg_variables=vgg_variables,
-            rngs={"noise": rng},
+        kwargs = dict(
+            training=True, vgg_variables=vgg_variables, rngs={"noise": rng}
         )
+        if has_moe:
+            from textmae_tpu.parallel.moe import collect_moe_aux
+
+            out, inter = model.apply(
+                {"params": params}, batch["imgs"], batch["scores"],
+                mutable=["intermediates"], **kwargs,
+            )
+            moe_aux = collect_moe_aux(inter)
+        else:
+            out = model.apply(
+                {"params": params}, batch["imgs"], batch["scores"], **kwargs
+            )
+            moe_aux = None
         rd = rate_distortion_loss(out, batch["imgs"], lmbda)
         aux = out["aux_loss"]
         total = rd["loss"] + aux
@@ -54,6 +69,9 @@ def make_train_step(
             "vgg_loss": rd["vgg_loss"],
             "aux_loss": aux,
         }
+        if moe_aux is not None:
+            total = total + moe_aux_weight * moe_aux
+            metrics["moe_aux_loss"] = moe_aux
         return total, metrics
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
