@@ -160,3 +160,71 @@ def test_apply_npz_meta_shared_across_clis(tmp_path):
     args = serve_parser().parse_args([])
     apply_npz_meta_to_args(args, None)
     assert args.num_keep_patches is None and not args.reference_order
+
+
+def test_apply_npz_meta_moe(tmp_path):
+    """MoE topology self-configures on the eval/serve surfaces: exact values
+    from __meta__ when present, structural inference from the param tree
+    (stacked moe/wi leaves) when not; dense checkpoints stay dense."""
+    from textmae_tpu.train.checkpoint import (
+        apply_npz_meta_to_args,
+        infer_moe_from_npz,
+        save_params_npz,
+    )
+
+    moe_tree = {
+        "encoder_blocks_0": {"mlp": {"fc1": {"kernel": np.zeros((4, 8), np.float32)}}},
+        "encoder_blocks_2": {"moe": {"wi": np.zeros((8, 4, 16), np.float32)}},
+    }
+
+    # meta wins and carries top_k (not recoverable from weights)
+    with_meta = tmp_path / "moe_meta.npz"
+    save_params_npz(with_meta, moe_tree,
+                    meta={"moe_experts": 8, "moe_top_k": 2, "moe_every": 3})
+    args = eval_cli_parser().parse_args(["-d", "x", "-p", str(with_meta)])
+    apply_npz_meta_to_args(args, with_meta)
+    assert (args.moe_experts, args.moe_top_k, args.moe_every) == (8, 2, 3)
+
+    # no meta: experts + cadence inferred from the tree, top_k stays None
+    # (resolves to 1 downstream, with a warning)
+    bare = tmp_path / "moe_bare.npz"
+    save_params_npz(bare, moe_tree)
+    assert infer_moe_from_npz(bare) == {"moe_experts": 8, "moe_every": 3}
+    args = eval_cli_parser().parse_args(["-d", "x", "-p", str(bare)])
+    apply_npz_meta_to_args(args, bare)
+    assert (args.moe_experts, args.moe_every) == (8, 3)
+    assert args.moe_top_k is None
+
+    # explicit flag wins over inference
+    args = eval_cli_parser().parse_args(
+        ["-d", "x", "-p", str(bare), "--moe-experts", "4"])
+    apply_npz_meta_to_args(args, bare)
+    assert args.moe_experts == 4
+
+    # dense tree: no MoE update
+    dense = tmp_path / "dense.npz"
+    save_params_npz(dense, {"encoder_blocks_0": {"mlp": {"fc1": {
+        "kernel": np.zeros((4, 8), np.float32)}}}})
+    assert infer_moe_from_npz(dense) is None
+    args = eval_cli_parser().parse_args(["-d", "x", "-p", str(dense)])
+    apply_npz_meta_to_args(args, dense)
+    assert args.moe_experts is None
+
+
+def test_generate_scores_grid_follows_input_size(tmp_path, rng):
+    """process_dataset(img_size=96) emits (96/16)^2 = 36-entry score rows so
+    non-224 training/eval is first-class (apply_masking rejects mismatched
+    grids)."""
+    from PIL import Image
+
+    from textmae_tpu.cli.generate_scores import process_dataset
+
+    d = tmp_path / "flat"
+    d.mkdir()
+    for i in range(2):
+        arr = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"im{i}.png")
+    out = process_dataset("test", d, workers=1, img_size=96)
+    assert np.load(out).shape == (2, 36)
+    out224 = process_dataset("test", d, workers=1)
+    assert np.load(out224).shape == (2, 196)

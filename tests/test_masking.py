@@ -123,3 +123,15 @@ class TestApplyMasking:
         np.testing.assert_allclose(
             x_remain[0, 0], np.asarray(x)[0, ids_shuffle[0, 0]]
         )
+
+
+def test_apply_masking_rejects_mismatched_scores_grid():
+    """A scores file from a different patch grid (e.g. 196-entry 224-default
+    maps fed to a 96px model) must fail loudly, not gather clamped
+    out-of-range tokens into a silently-corrupt stream."""
+    import pytest
+
+    x = jnp.zeros((2, 36, 8))
+    scores = jnp.zeros((2, 196))
+    with pytest.raises(ValueError, match="different grid"):
+        apply_masking(x, scores, 16)

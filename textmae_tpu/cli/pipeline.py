@@ -41,6 +41,11 @@ def build_parser():
                    help="canonical_keep_order=False: the reference's token "
                         "ordering. Required for reference-trained / rd_sweep "
                         "checkpoints (auto-set from npz __meta__)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="MoE encoder topology of the checkpoint (default: "
+                        "meta, else param-tree inference, else dense)")
+    p.add_argument("--moe-top-k", type=int, default=None)
+    p.add_argument("--moe-every", type=int, default=None)
     p.add_argument("--no-caption", action="store_true")
     p.add_argument("--caption-backend", choices=("native", "torch"), default="native",
                    help="native = flax BLIP-2 jitted on TPU (textmae_tpu.captioning, "
@@ -121,6 +126,9 @@ def main(argv=None):
         img_size=args.input_size, num_keep_patches=args.num_keep_patches,
         canonical_keep_order=not args.reference_order,
         dtype=jnp.bfloat16,
+        moe_experts=args.moe_experts or 0,
+        moe_top_k=args.moe_top_k or 1,
+        moe_every=args.moe_every or 2,
     )
     model = MCM(cfg)
     resized = pil.resize((cfg.img_size, cfg.img_size), Image.BICUBIC)

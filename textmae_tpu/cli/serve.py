@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="canonical_keep_order=False: the reference's token "
                         "ordering. Required for reference-trained / rd_sweep "
                         "checkpoints (auto-set from npz __meta__)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="MoE encoder topology of the served checkpoint "
+                        "(default: meta, else param-tree inference, else dense)")
+    p.add_argument("--moe-top-k", type=int, default=None)
+    p.add_argument("--moe-every", type=int, default=None)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
     p.add_argument("--half", action="store_true", help="bfloat16 transformer compute")
@@ -575,6 +580,9 @@ def main(argv=None):
         num_keep_patches=args.num_keep_patches,
         canonical_keep_order=not args.reference_order,
         dtype=jnp.bfloat16 if args.half else jnp.float32,
+        moe_experts=args.moe_experts or 0,
+        moe_top_k=args.moe_top_k or 1,
+        moe_every=args.moe_every or 2,
     )
     model = MCM(cfg)
     rng = jax.random.PRNGKey(0)

@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "ordering (MCM.py:640-652); ids_restore side info is "
                         "then the full permutation, as testing.py:73-76 codes. "
                         "Required for reference-trained / rd_sweep checkpoints")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="MoE encoder topology of the checkpoint (default: "
+                        "checkpoint meta, else inferred from the param tree, "
+                        "else dense)")
+    p.add_argument("--moe-top-k", type=int, default=None,
+                   help="experts routed per token (default: meta, else 1 — "
+                        "NOT inferable from weights)")
+    p.add_argument("--moe-every", type=int, default=None,
+                   help="MoE block cadence (default: meta/param tree, else 2)")
     p.add_argument("--save-recon", action="store_true")
     p.add_argument("--debug-tiny", action="store_true",
                    help="tiny model dims (smoke-testing the eval path on CPU; "
@@ -72,6 +81,9 @@ def _apply_npz_meta(args) -> None:
         apply_npz_meta_to_args(args, args.paths[0])
     if args.num_keep_patches is None:
         args.num_keep_patches = 144
+    args.moe_experts = 0 if args.moe_experts is None else args.moe_experts
+    args.moe_top_k = 1 if args.moe_top_k is None else args.moe_top_k
+    args.moe_every = 2 if args.moe_every is None else args.moe_every
 
 
 def main(argv=None):
@@ -102,6 +114,9 @@ def main(argv=None):
         num_keep_patches=args.num_keep_patches,
         canonical_keep_order=not args.reference_order,
         dtype=jnp.bfloat16 if args.half else jnp.float32,
+        moe_experts=args.moe_experts,
+        moe_top_k=args.moe_top_k,
+        moe_every=args.moe_every,
         **tiny,
     )
     model = MCM(cfg)

@@ -142,6 +142,16 @@ def apply_masking(
     Returns (x_remain (N, num_keep, D), ids_restore (N, L)) with the same
     contract as the reference random_masking (MCM.py:548-588).
     """
+    if scores.shape[-1] != x.shape[1]:
+        # a scores file generated for a different patch grid (e.g. the
+        # default 224/16 = 196-entry maps fed to a 96px model) would
+        # otherwise gather out-of-range token indexes — clamped, silently
+        # corrupt — and desynchronize every downstream shape
+        raise ValueError(
+            f"scores length {scores.shape[-1]} != patch count {x.shape[1]}: "
+            "the scores file was generated for a different grid / input "
+            "size (regenerate with cli.generate_scores for this resolution)"
+        )
     ids_shuffle = get_ids_shuffle(scores, num_keep, canonical)
     ids_restore = jnp.argsort(ids_shuffle, axis=1).astype(jnp.int32)
     ids_keep = ids_shuffle[:, :num_keep]

@@ -206,9 +206,50 @@ def apply_npz_meta_to_args(args, path: Optional[os.PathLike]) -> None:
             print(f"warning: --normalize={bool(args.normalize)} but the "
                   f"checkpoint was trained with normalize={mn}",
                   file=sys.stderr)
+    if getattr(args, "moe_experts", False) is None:
+        # MoE topology: meta first (exact, may carry top_k), else inferred
+        # from the param tree itself — expert count and block cadence are
+        # structural, so an MoE checkpoint without meta still self-configures
+        if "moe_experts" in meta:
+            updates["moe_experts"] = int(meta["moe_experts"])
+            for k in ("moe_top_k", "moe_every"):
+                if k in meta and getattr(args, k, False) is None:
+                    updates[k] = int(meta[k])
+        else:
+            inferred = infer_moe_from_npz(path)
+            if inferred:
+                updates["moe_experts"] = inferred["moe_experts"]
+                if getattr(args, "moe_every", False) is None:
+                    updates["moe_every"] = inferred["moe_every"]
+                if getattr(args, "moe_top_k", False) is None:
+                    print("warning: MoE checkpoint without moe_top_k meta; "
+                          "assuming top_k=1 (pass --moe-top-k to override)",
+                          file=sys.stderr)
     for k, v in updates.items():
         print(f"note: {k}={v} from checkpoint meta", file=sys.stderr)
         setattr(args, k, v)
+
+
+def infer_moe_from_npz(path: os.PathLike):
+    """``{"moe_experts": E, "moe_every": n}`` inferred from the param tree of
+    an npz distribution file, or None when the encoder is dense. The expert
+    count is dim 0 of any stacked ``moe/wi`` and the cadence is the first MoE
+    block's index + 1 (V-MoE placement: blocks i with i % every == every-1).
+    ``top_k`` is a routing hyperparameter invisible in the weights — it must
+    come from meta or a flag."""
+    import re
+
+    with np.load(Path(path)) as z:
+        idx = sorted({
+            int(m.group(1))
+            for k in z.files
+            for m in [re.match(r"encoder_blocks_(\d+)/moe/wi$", k)]
+            if m
+        })
+        if not idx:
+            return None
+        experts = int(z[f"encoder_blocks_{idx[0]}/moe/wi"].shape[0])
+    return {"moe_experts": experts, "moe_every": idx[0] + 1}
 
 
 def restore_params_any(path: os.PathLike, params_template: Dict) -> Dict:
