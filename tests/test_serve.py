@@ -472,3 +472,30 @@ def test_service_replicas_byte_identical_and_balanced(setup):
 
     with pytest.raises(ValueError, match="replicas"):
         CodecService(model, variables, warmup=False, replicas=99)
+
+
+def test_service_serves_moe_checkpoint():
+    """An MoE-encoder MCM serves end-to-end: compress -> container ->
+    decompress round trip with routed expert FFNs in the served model (the
+    cli.serve entry self-configures the MoE topology from npz meta / the
+    param tree; this pins the service layer itself on an MoE model)."""
+    import dataclasses
+
+    from textmae_tpu.cli.serve import CodecService
+
+    cfg = dataclasses.replace(TINY, moe_experts=4, moe_every=2)
+    model = MCM(cfg)
+    r = np.random.default_rng(3)
+    imgs = jnp.asarray(r.random((2, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((2, cfg.num_patches), np.float32))
+    variables = jax.jit(lambda k, x, s: model.init(
+        {"params": k, "noise": k}, x, s, training=False, compute_loss=False
+    ))(jax.random.PRNGKey(0), imgs, scores)
+    assert "moe" in variables["params"]["encoder_blocks_1"]
+
+    svc = CodecService(model, variables, max_batch=2, batch_window_ms=20.0)
+    png = _png_bytes(r.random((96, 96, 3)).astype(np.float32))
+    blob = svc.compress(png)
+    out_png = svc.decompress(blob)
+    with Image.open(io.BytesIO(out_png)) as im:
+        assert im.size == (96, 96)
