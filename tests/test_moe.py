@@ -460,3 +460,41 @@ def test_mae_pretrain_cli_moe_flags():
     )
     assert args.moe_experts == 8 and args.expert_parallel == 4
     assert args.moe_top_k == 2 and args.moe_every == 2
+
+
+def test_mcm_moe_tp_ep_composition(rng):
+    """dp2 x tp2 x ep2 on the 8-device mesh: Megatron TP on the dense block
+    matrices (incl. MoE blocks' attention) composed with expert sharding on
+    the stacked MoE weights — first train step bit-matches replicated."""
+    from textmae_tpu.parallel import shard_params_tp_ep
+    from textmae_tpu.train import TrainState, configure_optimizers, make_train_step
+
+    model, cfg, variables, imgs, scores = _moe_mcm()
+    batch = {"imgs": imgs, "scores": scores}
+
+    tx = configure_optimizers(variables["params"])
+    step = make_train_step(model, tx, lmbda=1e-4, donate=False)
+    _, m_ref = step(
+        TrainState.create(variables["params"], tx), batch, jax.random.PRNGKey(1)
+    )
+
+    mesh = make_mesh(
+        {"data": 2, "model": 2, "expert": 2}, devices=jax.devices()[:8]
+    )
+    sparams = shard_params_tp_ep(variables["params"], mesh)
+    # the merge really produced both layouts
+    qkv = sparams["encoder_blocks_0"]["attn"]["qkv"]["kernel"]
+    wi = sparams["encoder_blocks_1"]["moe"]["wi"]
+    assert "model" in qkv.sharding.spec
+    assert wi.sharding.spec[0] == "expert"
+
+    stx = configure_optimizers(sparams)
+    sstep = make_train_step(model, stx, lmbda=1e-4, donate=False)
+    _, m = sstep(
+        TrainState.create(sparams, stx), shard_batch(batch, mesh),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m["moe_aux_loss"]), float(m_ref["moe_aux_loss"]), rtol=1e-5
+    )

@@ -158,20 +158,31 @@ def main(argv=None):
             raise SystemExit("--expert-parallel needs --moe-experts > 0")
         if args.moe_experts % ep:
             raise SystemExit("--moe-experts must divide by --expert-parallel")
-        if tp > 1:
-            raise SystemExit(
-                "--expert-parallel does not compose with --tensor-parallel "
-                "in this CLI yet (merge the sharding trees before tx.init)"
-            )
         ndev = len(jax.devices())
-        dp = max(ndev // ep, 1)
-        mesh = make_mesh({"data": dp, "expert": ep}, devices=jax.devices()[: dp * ep])
-        from textmae_tpu.parallel import shard_moe_params
+        if ndev % (tp * ep):
+            raise SystemExit(
+                f"--tensor-parallel {tp} x --expert-parallel {ep} does not "
+                f"divide {ndev} devices"
+            )
+        dp = max(ndev // (tp * ep), 1)
+        axes = {"data": dp, "expert": ep} if tp == 1 else {
+            "data": dp, "model": tp, "expert": ep
+        }
+        mesh = make_mesh(axes, devices=jax.devices()[: dp * tp * ep])
+        from textmae_tpu.parallel import shard_moe_params, shard_params_tp_ep
 
         # placed before optimizer init so the Adam moments inherit the
-        # expert sharding (zeros_like follows its operand's sharding)
-        params = shard_moe_params(params, mesh)
-        print(f"mesh data{dp} x expert{ep} (EP over MoE encoder blocks)")
+        # expert (and TP) sharding (zeros_like follows its operand)
+        params = (
+            shard_params_tp_ep(params, mesh)
+            if tp > 1
+            else shard_moe_params(params, mesh)
+        )
+        print(
+            "mesh " + " x ".join(f"{k}{v}" for k, v in axes.items())
+            + " (EP over MoE experts"
+            + (", TP over ViT blocks)" if tp > 1 else ")")
+        )
     elif tp > 1:
         ndev = len(jax.devices())
         if ndev % tp:
@@ -221,11 +232,20 @@ def main(argv=None):
             # params AND the optimizer moments (two param-tree-sized Adam
             # moments — left replicated they cost 2x full model size per
             # device and defeat the sharding established before tx.init)
-            from textmae_tpu.parallel import shard_moe_params, shard_params
+            from textmae_tpu.parallel import (
+                shard_moe_params,
+                shard_params,
+                shard_params_tp_ep,
+            )
 
             from jax.sharding import NamedSharding, PartitionSpec
 
-            resharder = shard_params if tp > 1 else shard_moe_params
+            if tp > 1 and ep > 1:
+                resharder = shard_params_tp_ep
+            elif tp > 1:
+                resharder = shard_params
+            else:
+                resharder = shard_moe_params
             sharded = resharder(state.params, mesh)
             template = tx.init(sharded)
 

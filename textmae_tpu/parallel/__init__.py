@@ -26,6 +26,7 @@ from textmae_tpu.parallel.moe import (
     MoEMlp,
     moe_param_shardings,
     shard_moe_params,
+    shard_params_tp_ep,
 )
 from textmae_tpu.parallel.sharding_rules import (
     shard_params,
@@ -49,4 +50,5 @@ __all__ = [
     "MoEMlp",
     "moe_param_shardings",
     "shard_moe_params",
+    "shard_params_tp_ep",
 ]

@@ -234,3 +234,26 @@ def shard_moe_params(params, mesh: Mesh, axis: str = "expert"):
     """device_put the param tree with expert shardings (others replicate)."""
     shardings = moe_param_shardings(params, mesh, axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_params_tp_ep(
+    params, mesh: Mesh, tp_axis: str = "model", ep_axis: str = "expert"
+):
+    """TP x EP composition in one placement pass: Megatron head/hidden
+    sharding (sharding_rules) on every dense block matrix — including the
+    attention inside MoE blocks — plus expert sharding on the stacked MoE
+    weights. The two rule sets match disjoint paths (TP suffixes never name
+    `moe/{wi,wo,bi,bo}` and vice versa), so the merge is a per-leaf pick."""
+    from textmae_tpu.parallel.sharding_rules import transformer_param_shardings
+
+    tp = transformer_param_shardings(params, mesh, tp_axis)
+    ep = moe_param_shardings(params, mesh, ep_axis)
+
+    def pick(path, leaf, t, m):
+        parts = [str(getattr(p, "key", p)) for p in path]
+        if "moe" in parts and parts[-1] in ("wi", "wo", "bi", "bo"):
+            return m
+        return t
+
+    shardings = jax.tree_util.tree_map_with_path(pick, params, tp, ep)
+    return jax.tree.map(jax.device_put, params, shardings)
