@@ -365,6 +365,53 @@ def main():
         except Exception as e:
             full_fields["refine_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
 
+    # ---- training throughput: steady-state flagship MCM train step (bf16,
+    # no VGG — the perceptual net is weight-IO, not train-path compute).
+    # Interleaved warm-up protocol (VERIFICATION.md: first-window readings on
+    # the tunnel are compile/queue noise). BENCH_TRAIN=0 skips.
+    train_fields = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0" and not stage_fits(180):
+        train_fields = {"train_note": "skipped: soft deadline"}
+    elif os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            from textmae_tpu.train import (
+                TrainState,
+                configure_optimizers,
+                make_train_step,
+            )
+
+            tb = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+            t_imgs = imgs_model[:tb]
+            t_scores = scores[:tb]
+            t_vars = jax.jit(
+                lambda r: model.init(
+                    {"params": r, "noise": r}, t_imgs, t_scores,
+                    training=False, compute_loss=False,
+                )
+            )(jax.random.PRNGKey(2))
+            t_tx = configure_optimizers(t_vars["params"])
+            t_state = TrainState.create(t_vars["params"], t_tx)
+            t_step = make_train_step(model, t_tx, lmbda=1e-4)
+            t_batch = {"imgs": t_imgs, "scores": t_scores}
+            for _ in range(3):  # compile + donation recompile + warm
+                t_state, t_m = t_step(t_state, t_batch, jax.random.PRNGKey(3))
+            jax.block_until_ready(t_m["loss"])
+            t0 = time.time()
+            t_n = 30
+            for _ in range(t_n):
+                t_state, t_m = t_step(t_state, t_batch, jax.random.PRNGKey(3))
+            jax.block_until_ready(t_m["loss"])
+            step_ms = (time.time() - t0) / t_n * 1000
+            train_fields = {
+                "train_step_ms": round(step_ms, 2),
+                "train_img_per_s": round(tb / (step_ms / 1000), 1),
+                "train_note": f"flagship MCM train step, batch {tb}, "
+                              "224x224, bf16, no VGG, fresh init",
+            }
+            del t_vars, t_tx, t_state, t_step
+        except Exception as e:
+            train_fields = {"train_note": f"skipped: {type(e).__name__}: {e}"[:300]}
+
     # ---- R-D curve from ALL committed rate points (VERDICT r2 Missing #5):
     # every checkpoints/*.f16.npz is one (bpp, psnr) point through the real
     # codec; the headline checkpoint reuses the measured round trip, the
@@ -468,6 +515,7 @@ def main():
                 **caption_fields,
                 **refine_fields,
                 **full_fields,
+                **train_fields,
                 **rd_fields,
                 "untrained": untrained,
                 "note": (
