@@ -498,3 +498,17 @@ def test_mcm_moe_tp_ep_composition(rng):
     np.testing.assert_allclose(
         float(m["moe_aux_loss"]), float(m_ref["moe_aux_loss"]), rtol=1e-5
     )
+
+
+def test_mae_pretrain_nonpipelined_tp_flags():
+    """--tensor_parallel without --pipeline_stages is a real data x model
+    mesh (it used to be silently ignored); --debug_tiny exists for e2e
+    drills; TP x EP parses together."""
+    from textmae_tpu.cli.mae_pretrain import build_parser
+
+    args = build_parser().parse_args(
+        ["--data_path", "/tmp", "--tensor_parallel", "2", "--debug_tiny",
+         "--moe_experts", "4", "--expert_parallel", "2"]
+    )
+    assert args.tensor_parallel == 2 and args.debug_tiny
+    assert args.expert_parallel == 2 and args.pipeline_stages == 1

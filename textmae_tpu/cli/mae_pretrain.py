@@ -51,9 +51,13 @@ def build_parser():
                    help="pipeline microbatches per step (>= stages for "
                         "reasonable bubble overhead); batch_size must divide")
     p.add_argument("--tensor_parallel", type=int, default=1,
-                   help="with --pipeline_stages: tensor-parallel width "
-                        "INSIDE each pipeline stage (dp x pp x tp mesh; "
-                        "heads and MLP hidden width must divide evenly)")
+                   help="tensor-parallel width: with --pipeline_stages, "
+                        "INSIDE each pipeline stage (dp x pp x tp mesh); "
+                        "without, a data x model mesh with Megatron block "
+                        "sharding (heads and MLP hidden must divide evenly)")
+    p.add_argument("--debug_tiny", action="store_true",
+                   help="tiny model dims at the usual --input_size "
+                        "(CI/e2e smoke only; mirrors cli.train --debug-tiny)")
     p.add_argument("--moe_experts", type=int, default=0,
                    help="mixture-of-experts encoder: every --moe_every'th "
                         "encoder block's MLP becomes an MoE layer with this "
@@ -108,7 +112,7 @@ def main(argv=None):
         raise SystemExit("--moe_experts does not compose with "
                          "--pipeline_stages yet (MoE blocks are not part of "
                          "the pipelined block runner)")
-    model = factory(
+    common = dict(
         img_size=args.input_size,
         norm_pix_loss=args.norm_pix_loss,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -116,6 +120,16 @@ def main(argv=None):
         moe_top_k=args.moe_top_k,
         moe_every=args.moe_every,
     )
+    if args.debug_tiny:
+        from textmae_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+
+        model = MaskedAutoencoderViT(MAEConfig(
+            embed_dim=32, depth=4, num_heads=2,
+            decoder_embed_dim=16, decoder_depth=2, decoder_num_heads=2,
+            use_pallas=False, **common,
+        ))
+    else:
+        model = factory(**common)
 
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((2, 3, args.input_size, args.input_size), jnp.float32)
@@ -124,20 +138,44 @@ def main(argv=None):
     )(rng)
     params = variables["params"]
 
+    # non-pipelined TP / EP / TP x EP: one mesh, params placed before
+    # optimizer init so the Adam moments inherit the sharding (zeros_like
+    # follows its operand). With --pipeline_stages > 1 the pipelined step
+    # owns --tensor_parallel instead (stacked per-stage block params).
     ep_mesh = None
-    if args.expert_parallel > 1:
-        if args.moe_experts % args.expert_parallel:
+    if args.pipeline_stages == 1 and (
+        args.expert_parallel > 1 or args.tensor_parallel > 1
+    ):
+        ep = max(args.expert_parallel, 1)
+        tp = max(args.tensor_parallel, 1)
+        if ep > 1 and args.moe_experts % ep:
             raise SystemExit("--moe_experts must divide by --expert_parallel")
-        ep = args.expert_parallel
-        dp = max(len(jax.devices()) // ep, 1)
-        ep_mesh = make_mesh(
-            {"data": dp, "expert": ep}, devices=jax.devices()[: dp * ep]
+        ndev = len(jax.devices())
+        if ndev % (tp * ep):
+            raise SystemExit(
+                f"--tensor_parallel {tp} x --expert_parallel {ep} does not "
+                f"divide {ndev} devices"
+            )
+        dp = max(ndev // (tp * ep), 1)
+        axes = {"data": dp}
+        if tp > 1:
+            axes["model"] = tp
+        if ep > 1:
+            axes["expert"] = ep
+        ep_mesh = make_mesh(axes, devices=jax.devices()[: dp * tp * ep])
+        from textmae_tpu.parallel import (
+            shard_moe_params,
+            shard_params,
+            shard_params_tp_ep,
         )
-        from textmae_tpu.parallel import shard_moe_params
 
-        # placed before optimizer init so the Adam moments inherit the
-        # expert sharding (zeros_like follows its operand's sharding)
-        params = shard_moe_params(params, ep_mesh)
+        if tp > 1 and ep > 1:
+            params = shard_params_tp_ep(params, ep_mesh)
+        elif ep > 1:
+            params = shard_moe_params(params, ep_mesh)
+        else:
+            params = shard_params(params, ep_mesh)
+        print("mesh " + " x ".join(f"{k}{v}" for k, v in axes.items()))
 
     world = jax.process_count()
     steps_per_epoch = max(len(dataset) // (args.batch_size * world), 1)
