@@ -412,6 +412,57 @@ def main():
         except Exception as e:
             train_fields = {"train_note": f"skipped: {type(e).__name__}: {e}"[:300]}
 
+    # ---- native-resolution tiled round trip (eval/tiling.py): the
+    # reference DOWNSCALES every image to 224 (its full-res content is
+    # simply lost, utils/dataloader.py:59-73); this framework compresses at
+    # the original resolution by batching independent 224 tiles through the
+    # same codec. Metrics are true full-res PSNR over the original pixels.
+    # BENCH_TILED=0 skips; BENCH_TILED_N bounds the image count.
+    tiled_fields = {}
+    if os.environ.get("BENCH_TILED", "1") != "0" and not stage_fits(240):
+        tiled_fields = {"tiled_note": "skipped: soft deadline"}
+    elif os.environ.get("BENCH_TILED", "1") != "0":
+        try:
+            from PIL import Image
+
+            from textmae_tpu.data.paths import find_kodak
+            from textmae_tpu.eval.tiling import inference_tiled
+
+            tiled_dir = find_kodak()
+            tfiles = sorted(tiled_dir.glob("*.png")) if tiled_dir else []
+            tn = min(int(os.environ.get("BENCH_TILED_N", "6")), len(tfiles))
+            if tn == 0:
+                raise FileNotFoundError("no Kodak images for the tiled stage")
+            arrs = []
+            for f in tfiles[:tn]:
+                with Image.open(f) as im:
+                    arrs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+            # warm-up: compile the tile-batch compress/decompress programs
+            # off the clock (cold they cost minutes over the tunnel)
+            inference_tiled(codec, arrs[0], normalize=not untrained)
+            t_res, t_pixels, t0 = [], 0, time.time()
+            for arr in arrs:
+                r = inference_tiled(codec, arr, normalize=not untrained)
+                r.pop("x_hat")
+                t_res.append(r)
+                t_pixels += arr.shape[0] * arr.shape[1]
+            t_wall = time.time() - t0
+            tiled_fields = {
+                "tiled_psnr": round(float(np.mean([r["psnr"] for r in t_res])), 3),
+                "tiled_ms_ssim": round(
+                    float(np.mean([r["ms-ssim"] for r in t_res])), 5
+                ),
+                "tiled_bpp": round(float(np.mean([r["bpp"] for r in t_res])), 4),
+                "tiled_mpix_per_s": round(t_pixels / t_wall / 1e6, 3),
+                "tiled_note": f"native-res Kodak x{tn} via 224-tile batching "
+                              "(score maps per tile on host; capability "
+                              "metric — the committed checkpoint trained on "
+                              "downscaled-224 content, so native-res tiles "
+                              "are out-of-distribution for its PSNR)",
+            }
+        except Exception as e:
+            tiled_fields = {"tiled_note": f"skipped: {type(e).__name__}: {e}"[:300]}
+
     # ---- R-D curve from ALL committed rate points (VERDICT r2 Missing #5):
     # every checkpoints/*.f16.npz is one (bpp, psnr) point through the real
     # codec; the headline checkpoint reuses the measured round trip, the
@@ -516,6 +567,7 @@ def main():
                 **refine_fields,
                 **full_fields,
                 **train_fields,
+                **tiled_fields,
                 **rd_fields,
                 "untrained": untrained,
                 "note": (

@@ -154,7 +154,10 @@ def main(argv=None):
             for f in dataset.files:
                 with Image.open(f) as im:
                     img = np.asarray(im.convert("RGB"), np.float32) / 255.0
-                res = inference_tiled(codec, img, tile=args.input_size)
+                res = inference_tiled(
+                    codec, img, tile=args.input_size,
+                    normalize=bool(args.normalize),
+                )
                 res.pop("x_hat")
                 if args.verbose:
                     print(f.name, {k: round(float(v), 4) for k, v in res.items()})

@@ -51,12 +51,18 @@ def untile_image(tiles: np.ndarray, meta: Dict) -> np.ndarray:
 
 
 def inference_tiled(
-    codec: MCMCodec, img: np.ndarray, tile: int = 224
+    codec: MCMCodec, img: np.ndarray, tile: int = 224, normalize: bool = False
 ) -> Dict[str, float]:
     """Full-resolution round trip: tile -> batch codec -> stitch.
 
     img: (H, W, 3) float32 in [0, 1]. Returns metrics at FULL resolution plus
     the reconstruction under "x_hat".
+
+    normalize: feed ImageNet-normalized tiles to the model and de-normalize
+    the reconstruction — REQUIRED for checkpoints trained with --normalize
+    (e.g. the committed distribution checkpoints); raw [0,1] tiles through a
+    normalized-trained model decode garbage (the ADVICE-r2 misconfiguration
+    class, on the tiled surface). Metrics are always in raw pixel space.
     """
     tiles, meta = tile_image(img, tile)
     # BT.601 luma, matching cv2 IMREAD_GRAYSCALE / PIL convert("L") used by
@@ -68,6 +74,12 @@ def inference_tiled(
     scores = np.stack([total_score_for_image(g, (tile, tile)) for g in grays])
 
     imgs_j = jnp.asarray(tiles.transpose(0, 3, 1, 2))
+    if normalize:
+        from textmae_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+        imgs_j = (imgs_j - mean) / std
     scores_j = jnp.asarray(scores)
 
     start = time.time()
@@ -82,6 +94,8 @@ def inference_tiled(
     x_hat = np.asarray(jax.block_until_ready(x_hat))
     dec_time = time.time() - start
 
+    if normalize:
+        x_hat = x_hat * np.asarray(std) + np.asarray(mean)
     recon = untile_image(
         np.clip(x_hat.transpose(0, 2, 3, 1), 0.0, 1.0), meta
     )
