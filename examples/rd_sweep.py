@@ -61,6 +61,11 @@ def main():
                         "from the newest checkpoint here (wedged-tunnel "
                         "recovery: a watchdog can kill + relaunch losing at "
                         "most one eval interval)")
+    p.add_argument("--canonical-order", action="store_true",
+                   help="train with this framework's canonical (ascending-"
+                        "index) kept-token order instead of the reference's "
+                        "score ordering — the committed-checkpoint / serving "
+                        "convention (subset-coded side info)")
     p.add_argument("--flip", action="store_true",
                    help="random horizontal-flip augmentation (mirror-"
                         "equivariant scores, data/crops.py)")
@@ -127,16 +132,17 @@ def main():
     mean = IMAGENET_MEAN.reshape(1, 1, 1, 3).astype(np.float32)
     std = IMAGENET_STD.reshape(1, 1, 1, 3).astype(np.float32)
 
+    order = bool(args.canonical_order)
     if args.debug_tiny:
         cfg = MCMConfig(
-            num_keep_patches=args.keep, canonical_keep_order=False,
+            num_keep_patches=args.keep, canonical_keep_order=order,
             encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=2,
             decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
             latent_depth=24, hyperprior_depth=16, num_slices=4,
             use_pallas=False,
         )
     else:
-        cfg = MCMConfig(num_keep_patches=args.keep, canonical_keep_order=False)
+        cfg = MCMConfig(num_keep_patches=args.keep, canonical_keep_order=order)
     model = MCM(cfg)
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((1, 3, 224, 224), jnp.float32)
@@ -281,7 +287,7 @@ def main():
             meta={
                 "normalize": True,
                 "num_keep_patches": args.keep,
-                "canonical_keep_order": False,
+                "canonical_keep_order": order,
                 "lmbda": args.lmbda,
                 "steps": args.steps,
                 # so rd_eval --set train/holdout labels by THIS run's split,
@@ -295,7 +301,7 @@ def main():
             "config": {
                 "keep": args.keep,
                 "masked_pct": round(100 * (1 - args.keep / 196), 1),
-                "canonical_keep_order": False,
+                "canonical_keep_order": order,
                 "lmbda": args.lmbda,
                 "steps": args.steps,
                 "batch": args.batch,
