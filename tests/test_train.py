@@ -390,3 +390,38 @@ def test_train_cli_e2e_expert_parallel(tmp_path, capsys):
 
     main(["-e", "2", "--auto-resume", *common])
     assert "resumed from" in capsys.readouterr().out
+
+
+def test_train_cli_e2e_fsdp_tp(tmp_path, capsys):
+    """Full train CLI, one epoch, --fsdp --tensor-parallel 2: the 2-D
+    data4 x model2 FSDP x TP layout (parallel/fsdp.py) end-to-end, then an
+    FSDP-aware resume (restored params AND Adam moments re-land sharded via
+    parallel.repin_state)."""
+    from PIL import Image
+
+    from textmae_tpu.cli.generate_scores import process_dataset
+    from textmae_tpu.cli.train import main
+
+    root = tmp_path / "ds"
+    r = np.random.default_rng(0)
+    for split, n in (("train", 4), ("val", 2)):
+        d = root / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (r.random((256, 256, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+    process_dataset("train", root, workers=1)
+    process_dataset("val", root, workers=1)
+
+    out = tmp_path / "out"
+    common = [
+        "-d", str(root), "--batch-size", "4", "--val-batch-size", "2",
+        "--debug-tiny", "--no-vgg", "--fsdp", "--tensor-parallel", "2",
+        "--output-dir", str(out), "--num-workers", "2", "--print-freq", "1",
+    ]
+    main(["-e", "1", *common])
+    assert "mesh data4 x model2 (FSDP x TP)" in capsys.readouterr().out
+    assert list(out.glob("checkpoint*")), "no checkpoint written"
+
+    main(["-e", "2", "--auto-resume", *common])
+    assert "resumed from" in capsys.readouterr().out

@@ -71,6 +71,11 @@ def build_parser():
                         "axis — stacked expert weights shard over it, the "
                         "rest of the devices form the data axis (experts "
                         "and device count must divide evenly)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard every large parameter (and its Adam "
+                        "moments) over the 'data' mesh axis "
+                        "(parallel/fsdp.py); composes with --tensor_parallel "
+                        "into the 2-D data x model layout")
     p.add_argument("--sequence_parallel", action="store_true",
                    help="with --tensor_parallel: Megatron SP on the model "
                         "axis — residual stream token-sharded between "
@@ -143,7 +148,32 @@ def main(argv=None):
     # follows its operand). With --pipeline_stages > 1 the pipelined step
     # owns --tensor_parallel instead (stacked per-stage block params).
     ep_mesh = None
-    if args.pipeline_stages == 1 and (
+    if args.fsdp:
+        if args.pipeline_stages > 1 or args.expert_parallel > 1:
+            raise SystemExit(
+                "--fsdp composes with --tensor_parallel only "
+                "(not --pipeline_stages / --expert_parallel)"
+            )
+        from textmae_tpu.parallel import shard_params_fsdp
+
+        tp = max(args.tensor_parallel, 1)
+        ndev = len(jax.devices())
+        if ndev % tp:
+            raise SystemExit(
+                f"--tensor_parallel {tp} does not divide {ndev} devices"
+            )
+        axes = {"data": ndev // tp}
+        if tp > 1:
+            axes["model"] = tp
+        ep_mesh = make_mesh(axes)
+        params = shard_params_fsdp(
+            params, ep_mesh, tp_axis="model" if tp > 1 else None
+        )
+        print(
+            "mesh " + " x ".join(f"{k}{v}" for k, v in axes.items())
+            + " (FSDP / ZeRO-3" + (" x TP)" if tp > 1 else ")")
+        )
+    elif args.pipeline_stages == 1 and (
         args.expert_parallel > 1 or args.tensor_parallel > 1
     ):
         ep = max(args.expert_parallel, 1)
@@ -199,6 +229,31 @@ def main(argv=None):
         state, meta = restore_checkpoint(resume, state_template=state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         print(f"resumed from {resume} at epoch {start_epoch}")
+        if ep_mesh is not None:
+            # restore yields host arrays: re-pin the TP/EP/FSDP layout on
+            # params AND Adam moments (parallel.repin_state)
+            import functools
+
+            from textmae_tpu.parallel import (
+                repin_state,
+                shard_moe_params,
+                shard_params,
+                shard_params_fsdp,
+                shard_params_tp_ep,
+            )
+
+            tp_w = max(args.tensor_parallel, 1)
+            if args.fsdp:
+                resharder = functools.partial(
+                    shard_params_fsdp, tp_axis="model" if tp_w > 1 else None
+                )
+            elif tp_w > 1 and args.expert_parallel > 1:
+                resharder = shard_params_tp_ep
+            elif args.expert_parallel > 1:
+                resharder = shard_moe_params
+            else:
+                resharder = shard_params
+            state = repin_state(state, tx, ep_mesh, resharder)
 
     if args.pipeline_stages > 1:
         from textmae_tpu.train.mae_engine import make_pipelined_mae_pretrain_step

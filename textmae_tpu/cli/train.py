@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'model' mesh axis of this size (Megatron-style TP, "
                         "parallel.sharding_rules); remaining devices form the "
                         "data axis. 1 = pure DP (reference semantics)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard every large parameter (and therefore "
+                        "its Adam moments) over the 'data' mesh axis "
+                        "(parallel/fsdp.py); composes with --tensor-parallel "
+                        "into the 2-D data x model layout")
     p.add_argument("--moe-experts", type=int, default=0,
                    help="mixture-of-experts MAE encoder: every "
                         "--moe-every'th encoder block's MLP becomes this "
@@ -154,6 +159,8 @@ def main(argv=None):
     tp = args.tensor_parallel
     ep = args.expert_parallel
     if ep > 1:
+        if args.fsdp:
+            raise SystemExit("--fsdp does not compose with --expert-parallel")
         if args.moe_experts <= 0:
             raise SystemExit("--expert-parallel needs --moe-experts > 0")
         if args.moe_experts % ep:
@@ -190,12 +197,23 @@ def main(argv=None):
                 f"--tensor-parallel {tp} does not divide {ndev} devices"
             )
         mesh = make_mesh({"data": ndev // tp, "model": tp})
-        from textmae_tpu.parallel import shard_params
+        if args.fsdp:
+            from textmae_tpu.parallel import shard_params_fsdp
 
-        params = shard_params(params, mesh)
-        print(f"mesh data{ndev // tp} x model{tp} (TP over ViT blocks)")
+            params = shard_params_fsdp(params, mesh, tp_axis="model")
+            print(f"mesh data{ndev // tp} x model{tp} (FSDP x TP)")
+        else:
+            from textmae_tpu.parallel import shard_params
+
+            params = shard_params(params, mesh)
+            print(f"mesh data{ndev // tp} x model{tp} (TP over ViT blocks)")
     else:
         mesh = make_mesh()
+        if args.fsdp:
+            from textmae_tpu.parallel import shard_params_fsdp
+
+            params = shard_params_fsdp(params, mesh)
+            print(f"mesh data{mesh.shape['data']} (FSDP / ZeRO-3)")
 
     vgg_variables = None
     if not args.no_vgg:
@@ -227,38 +245,32 @@ def main(argv=None):
         start_epoch = int(meta.get("epoch", -1)) + 1
         resumed_val_loss = float(meta.get("val_loss", float("inf")))
         print(f"resumed from {resume_path} at epoch {start_epoch}")
-        if tp > 1 or ep > 1:
-            # restore yields host arrays; re-pin the TP/EP layout on the
+        if tp > 1 or ep > 1 or args.fsdp:
+            # restore yields host arrays; re-pin the TP/EP/FSDP layout on the
             # params AND the optimizer moments (two param-tree-sized Adam
             # moments — left replicated they cost 2x full model size per
             # device and defeat the sharding established before tx.init)
+            import functools
+
             from textmae_tpu.parallel import (
+                repin_state,
                 shard_moe_params,
                 shard_params,
+                shard_params_fsdp,
                 shard_params_tp_ep,
             )
 
-            from jax.sharding import NamedSharding, PartitionSpec
-
             if tp > 1 and ep > 1:
                 resharder = shard_params_tp_ep
+            elif args.fsdp:
+                resharder = functools.partial(
+                    shard_params_fsdp, tp_axis="model" if tp > 1 else None
+                )
             elif tp > 1:
                 resharder = shard_params
             else:
                 resharder = shard_moe_params
-            sharded = resharder(state.params, mesh)
-            template = tx.init(sharded)
-
-            def _pin(restored, t):
-                sh = getattr(t, "sharding", None)
-                if not isinstance(sh, NamedSharding) or sh.mesh != mesh:
-                    # scalar leaves (Adam counts) come off tx.init on a single
-                    # device; replicate them over the mesh instead
-                    sh = NamedSharding(mesh, PartitionSpec())
-                return jax.device_put(restored, sh)
-
-            opt_state = jax.tree.map(_pin, state.opt_state, template)
-            state = state.replace(params=sharded, opt_state=opt_state)
+            state = repin_state(state, tx, mesh, resharder)
 
     train_step = make_train_step(model, tx, lmbda=args.lmbda, vgg_variables=vgg_variables)
     eval_step = make_eval_step(model, lmbda=args.lmbda, vgg_variables=vgg_variables)

@@ -12,6 +12,7 @@ from textmae_tpu.parallel.mesh import (
     host_local_value,
     init_distributed,
     make_mesh,
+    repin_state,
     replicate,
     shard_batch,
 )
@@ -28,6 +29,10 @@ from textmae_tpu.parallel.moe import (
     shard_moe_params,
     shard_params_tp_ep,
 )
+from textmae_tpu.parallel.fsdp import (
+    fsdp_param_shardings,
+    shard_params_fsdp,
+)
 from textmae_tpu.parallel.sharding_rules import (
     shard_params,
     transformer_param_shardings,
@@ -40,6 +45,7 @@ __all__ = [
     "replicate",
     "host_local_value",
     "init_distributed",
+    "repin_state",
     "shard_params",
     "transformer_param_shardings",
     "pipeline_apply",
@@ -51,4 +57,6 @@ __all__ = [
     "moe_param_shardings",
     "shard_moe_params",
     "shard_params_tp_ep",
+    "fsdp_param_shardings",
+    "shard_params_fsdp",
 ]

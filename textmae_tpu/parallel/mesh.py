@@ -65,6 +65,30 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def repin_state(state, tx, mesh: Mesh, resharder):
+    """Re-pin a restored TrainState to a mesh layout (params + opt_state).
+
+    Checkpoint restore yields host arrays; params go through `resharder`
+    (shard_params / shard_moe_params / shard_params_fsdp, already bound to
+    any extra kwargs) and every optimizer-state leaf takes the sharding
+    ``tx.init`` would have produced from the re-sharded params — left
+    replicated, the two param-tree-sized Adam moments cost 2x full model
+    size per device and defeat the layout established before the original
+    ``tx.init``. Scalar leaves (Adam counts) replicate over the mesh.
+    """
+    sharded = resharder(state.params, mesh)
+    template = tx.init(sharded)
+
+    def _pin(restored, t):
+        sh = getattr(t, "sharding", None)
+        if not isinstance(sh, NamedSharding) or sh.mesh != mesh:
+            sh = NamedSharding(mesh, P())
+        return jax.device_put(restored, sh)
+
+    opt_state = jax.tree.map(_pin, state.opt_state, template)
+    return state.replace(params=sharded, opt_state=opt_state)
+
+
 def host_local_value(arr) -> np.ndarray:
     """Host numpy value of a jax.Array from this process's shards alone.
 
