@@ -1,0 +1,123 @@
+"""AOT export artifacts (eval/export.py): serialize, reload, replay."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from textmae_tpu.models.mcm import MCM, MCMConfig
+
+TINY = MCMConfig(
+    img_size=96,
+    encoder_embed_dim=32,
+    encoder_depth=2,
+    encoder_num_heads=2,
+    decoder_embed_dim=16,
+    decoder_depth=1,
+    decoder_num_heads=2,
+    latent_depth=24,
+    hyperprior_depth=16,
+    num_slices=4,
+    num_keep_patches=16,
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MCM(TINY)
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.random((2, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((2, TINY.num_patches), np.float32))
+    variables = jax.jit(lambda k, x, s: model.init(
+        {"params": k, "noise": k}, x, s, training=False, compute_loss=False
+    ))(jax.random.PRNGKey(0), imgs, scores)
+    return model, variables, imgs, scores
+
+
+def test_decode_device_mirrors_forward(setup):
+    """encode_device symbols -> decode_device must reproduce the eval-mode
+    forward's x_hat (same quantization math, one jit each way)."""
+    from textmae_tpu.entropy.gaussian import get_scale_table
+
+    model, variables, imgs, scores = setup
+    st = jnp.asarray(get_scale_table())
+    enc = jax.jit(lambda x, s: model.apply(
+        variables, x, s, st, method=model.encode_device
+    ))
+    out = enc(imgs, scores)
+    dec = jax.jit(lambda z, y, i: model.apply(
+        variables, z, y, i, method=model.decode_device
+    ))
+    x_hat = dec(out["z_sym"], out["symbols"], out["ids_restore"])
+    fwd = model.apply(
+        variables, imgs, scores, training=False, compute_loss=False
+    )["x_hat"]
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(fwd), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_export_roundtrip(setup, tmp_path):
+    """Exported artifact replays bit-comparable to the live programs and
+    needs no model objects to run."""
+    from textmae_tpu.eval.export import ExportedMCM, export_mcm
+
+    model, variables, imgs, scores = setup
+    path = export_mcm(
+        model, variables, tmp_path / "tiny.mcmx",
+        kinds=("forward", "encdec"), example_batch=2,
+        meta={"lmbda": 1.0},
+    )
+    ex = ExportedMCM(path)
+    assert set(ex.names()) >= {"forward", "encode", "decode"}
+    assert ex.manifest["meta"]["lmbda"] == 1.0
+
+    fwd_live = model.apply(
+        variables, imgs, scores, training=False, compute_loss=False
+    )["x_hat"]
+    fwd_ex = ex.forward(imgs, scores)
+    np.testing.assert_allclose(
+        np.asarray(fwd_ex), np.asarray(fwd_live), rtol=1e-5, atol=1e-5
+    )
+
+    enc_out = ex.encode(imgs, scores)
+    x_hat = ex.decode(
+        enc_out["z_sym"], enc_out["symbols"], enc_out["ids_restore"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(fwd_live), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_export_symbolic_batch(setup, tmp_path):
+    """When the manifest says symbolic_batch, one artifact serves any batch."""
+    from textmae_tpu.eval.export import ExportedMCM, export_mcm
+
+    model, variables, imgs, scores = setup
+    path = export_mcm(
+        model, variables, tmp_path / "sym.mcmx",
+        kinds=("forward",), example_batch=1,
+    )
+    ex = ExportedMCM(path)
+    info = ex.manifest["programs"]["forward"]
+    if not info["symbolic_batch"]:
+        pytest.skip("forward not exportable with a symbolic batch dim")
+    out2 = ex.forward(imgs, scores)  # batch 2 through a batch-"b" export
+    assert out2.shape == (2, 3, 96, 96)
+
+
+def test_export_rejects_newer_format(setup, tmp_path):
+    import json
+    import zipfile
+
+    from textmae_tpu.eval.export import ExportedMCM, export_mcm
+
+    model, variables, _, _ = setup
+    path = export_mcm(model, variables, tmp_path / "v.mcmx", kinds=())
+    with zipfile.ZipFile(path) as z:
+        manifest = json.loads(z.read("manifest.json"))
+    manifest["format_version"] = 999
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("manifest.json", json.dumps(manifest))
+    with pytest.raises(ValueError, match="newer exporter"):
+        ExportedMCM(path)

@@ -1,0 +1,209 @@
+"""AOT model export: serialize jitted MCM programs as deployment artifacts.
+
+The reference deploys by shipping a torch state dict and re-tracing the model
+in every process (model_utils.py:40-48 — weights only, Python model code
+required at the destination). The TPU-native deployment unit is different:
+``jax.export`` lowers a jitted function to versioned StableHLO once, and the
+serialized artifact replays on any machine with jax installed — no model
+code, no flax, no re-trace, and the compile happens where the artifact is
+USED (XLA compiles the deserialized module for the local topology). This
+gives serving fleets reproducible programs: the bytes pin the math, weights
+and all.
+
+Two artifact kinds, one container (.mcmx = a zip of serialized Exported
+modules + a JSON manifest):
+
+  * "forward"  — x_hat reconstruction from (imgs, scores): the eval-mode
+    forward used by quality evals and the serving fast path that skips
+    entropy coding.
+  * "encdec"   — the single-jit ``encode_device``/``decode_device`` pair
+    (models/mcm.py): symbols + indexes from images, and images from
+    symbols — the device halves of the real-bitstream codec. Host rANS
+    stays outside (it is not an XLA program).
+
+Weights are BAKED into the exported module as constants (closure capture),
+so one artifact is one deployable model version; the manifest records
+provenance (npz __meta__ fields) for auditability.
+
+Batch shape is exported symbolically ("b") when the program allows it, so
+one artifact serves every batch size; programs with batch-dependent control
+flow fall back to the fixed batch sizes listed in the manifest.
+"""
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+_MANIFEST = "manifest.json"
+_FORMAT_VERSION = 1
+
+
+def _export_one(fn: Callable, args: Tuple, sym_batch: bool) -> bytes:
+    """Serialize fn(*args) as StableHLO; symbolic batch dim when requested."""
+    jitted = jax.jit(fn)
+    if sym_batch:
+        specs = jexport.symbolic_args_specs(args, "b")
+        exported = jexport.export(jitted)(*specs)
+    else:
+        exported = jexport.export(jitted)(
+            *jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), args
+            )
+        )
+    return exported.serialize()
+
+
+def export_mcm(
+    model,
+    variables: Dict[str, Any],
+    path,
+    *,
+    kinds: Sequence[str] = ("forward",),
+    example_batch: int = 1,
+    symbolic_batch: bool = True,
+    meta: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Write a .mcmx artifact for an MCM model + weights.
+
+    kinds: any of "forward" (eval reconstruction) and "encdec" (the device
+    codec halves). Weights are captured as constants.
+    """
+    cfg = model.config
+    path = Path(path)
+    b = example_batch
+    imgs = jnp.zeros((b, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    scores = jnp.zeros((b, cfg.num_patches), jnp.float32)
+
+    entries: Dict[str, bytes] = {}
+    manifest: Dict[str, Any] = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "img_size": cfg.img_size,
+        "num_patches": cfg.num_patches,
+        "num_keep_patches": cfg.num_keep_patches,
+        "canonical_keep_order": bool(cfg.canonical_keep_order),
+        "programs": {},
+        "meta": dict(meta or {}),
+    }
+
+    if "forward" in kinds:
+        def forward(x, s):
+            out = model.apply(
+                variables, x, s, training=False, compute_loss=False
+            )
+            return out["x_hat"]
+
+        try:
+            blob = _export_one(forward, (imgs, scores), symbolic_batch)
+            sym = True
+        except Exception:
+            # symbolic-shape tracing can fail on batch-dependent reshapes;
+            # a fixed-batch artifact is still a valid deployment unit
+            blob = _export_one(forward, (imgs, scores), False)
+            sym = False
+        entries["forward.bin"] = blob
+        manifest["programs"]["forward"] = {
+            "file": "forward.bin",
+            "symbolic_batch": sym,
+            "in": [["b", 3, cfg.img_size, cfg.img_size], ["b", cfg.num_patches]]
+            if sym
+            else [[b, 3, cfg.img_size, cfg.img_size], [b, cfg.num_patches]],
+        }
+
+    if "encdec" in kinds:
+        from textmae_tpu.entropy.gaussian import get_scale_table
+
+        scale_table = jnp.asarray(get_scale_table())
+
+        def enc(x, s):
+            out = model.apply(
+                variables, x, s, scale_table, method=model.encode_device
+            )
+            # arrays only: "z_shape" is a static tuple, not program output
+            return {
+                k: out[k]
+                for k in ("symbols", "indexes", "z_sym", "ids_restore")
+            }
+
+        enc_out = jax.eval_shape(enc, imgs, scores)
+
+        def dec(z_sym, syms, ids_restore):
+            return model.apply(
+                variables, z_sym, syms, ids_restore,
+                method=model.decode_device,
+            )
+
+        dec_args = tuple(
+            jnp.zeros(o.shape, o.dtype)
+            for o in (
+                enc_out["z_sym"],
+                enc_out["symbols"],
+                enc_out["ids_restore"],
+            )
+        )
+        for name, fn, args in (
+            ("encode", enc, (imgs, scores)),
+            ("decode", dec, dec_args),
+        ):
+            try:
+                blob = _export_one(fn, args, symbolic_batch)
+                sym = True
+            except Exception:
+                blob = _export_one(fn, args, False)
+                sym = False
+            entries[f"{name}.bin"] = blob
+            manifest["programs"][name] = {
+                "file": f"{name}.bin",
+                "symbolic_batch": sym,
+                "in": [list(np.shape(a)) for a in args],
+            }
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_MANIFEST, json.dumps(manifest, indent=1, sort_keys=True))
+        for name, blob in entries.items():
+            z.writestr(name, blob)
+    path.write_bytes(buf.getvalue())
+    return path
+
+
+class ExportedMCM:
+    """Load a .mcmx artifact and call its programs — no model code needed.
+
+    ``ExportedMCM(path).forward(imgs, scores)`` replays the serialized
+    StableHLO under the local backend; XLA compiles it on first call.
+    """
+
+    def __init__(self, path):
+        with zipfile.ZipFile(Path(path)) as z:
+            self.manifest = json.loads(z.read(_MANIFEST))
+            if self.manifest.get("format_version", 0) > _FORMAT_VERSION:
+                raise ValueError(
+                    "artifact written by a newer exporter "
+                    f"(format {self.manifest['format_version']})"
+                )
+            self._programs = {
+                name: jexport.deserialize(z.read(info["file"]))
+                for name, info in self.manifest["programs"].items()
+            }
+            self._calls = {}
+
+    def names(self):
+        return sorted(self._programs)
+
+    def __getattr__(self, name):
+        programs = self.__dict__.get("_programs", {})
+        if name in programs:
+            calls = self.__dict__["_calls"]
+            if name not in calls:
+                calls[name] = jax.jit(programs[name].call)
+            return calls[name]
+        raise AttributeError(name)

@@ -745,6 +745,59 @@ class MCM(nn.Module):
         )
         return buf, y_hat_prev, mu, index, mean_support
 
+    def decode_device(
+        self,
+        z_sym: jnp.ndarray,
+        symbols: jnp.ndarray,
+        ids_restore: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Device math for decompress as ONE jit: entropy-decoded symbols ->
+        reconstructed image (mirror of encode_device's slice scan; the host
+        rANS stage in between is the only non-XLA step of the codec).
+
+        Mainly the AOT-export unit (eval/export.py): together with
+        encode_device it pins the full device codec math in a serialized
+        artifact. The interactive codec path keeps the per-slice programs
+        (eval/codec.py) because streaming decode needs symbols slice by
+        slice; this method needs them all up front.
+        """
+        cfg = self.config
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_hat = z_sym.astype(jnp.float32) + medians
+        latent_scales = self.run_h_s(self.h_s_scale_layers, z_hat)
+        latent_means = self.run_h_s(self.h_s_mean_layers, z_hat)
+
+        s, n, h, w, g = symbols.shape
+        ccm_k, ccm_b = self.cc_transform_mean.stacked_params()
+        ccs_k, ccs_b = self.cc_transform_scale.stacked_params()
+        lrp_k, lrp_b = self.lrp_transform.stacked_params()
+        buf0 = jnp.zeros((n, h, w, g * cfg.max_support), jnp.float32)
+        idxs = jnp.arange(s, dtype=jnp.int32)
+
+        def step(buf, xs):
+            i, sym, (cm_k, cm_b), (cs_k, cs_b), (lp_k, lp_b) = xs
+            mu, _sigma, mean_support = self._slice_mu_sigma(
+                buf,
+                latent_means,
+                latent_scales,
+                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x),
+                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x),
+            )
+            y_hat = self._lrp_refine(
+                sym.astype(jnp.float32) + mu,
+                mean_support,
+                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x),
+            )
+            return self._buf_update(buf, y_hat, i), y_hat
+
+        _, y_hat_slices = jax.lax.scan(
+            step,
+            buf0,
+            (idxs, symbols, (ccm_k, ccm_b), (ccs_k, ccs_b), (lrp_k, lrp_b)),
+        )
+        y_hat = y_hat_slices.transpose(1, 2, 3, 0, 4).reshape(n, h, w, s * g)
+        return self.decode_finish(y_hat, ids_restore)
+
     def decode_finish(self, y_hat: jnp.ndarray, ids_restore: jnp.ndarray) -> jnp.ndarray:
         """All decoded slices -> reconstructed image (MCM.py:954-968)."""
         cfg = self.config
