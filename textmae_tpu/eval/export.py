@@ -50,7 +50,10 @@ def _export_one(fn: Callable, args: Tuple, sym_batch: bool) -> bytes:
     """Serialize fn(*args) as StableHLO; symbolic batch dim when requested."""
     jitted = jax.jit(fn)
     if sym_batch:
-        specs = jexport.symbolic_args_specs(args, "b")
+        # "b, ..." = leading dim symbolic, remaining dims taken from args.
+        # (A bare "b" would be a full rank-1 shape spec and reject every
+        # rank>1 input — ADVICE r3.)
+        specs = jexport.symbolic_args_specs(args, "b, ...")
         exported = jexport.export(jitted)(*specs)
     else:
         exported = jexport.export(jitted)(
@@ -59,6 +62,31 @@ def _export_one(fn: Callable, args: Tuple, sym_batch: bool) -> bytes:
             )
         )
     return exported.serialize()
+
+
+def _export_sym_or_fixed(
+    fn: Callable, args: Tuple, want_sym: bool
+) -> Tuple[bytes, bool, Optional[str]]:
+    """Try a symbolic-batch export, falling back to fixed-batch.
+
+    Returns (blob, symbolic, fallback_reason). The reason is recorded in the
+    manifest so a genuine lowering bug is visible instead of silently
+    producing a less useful fixed-batch artifact (VERDICT r3 Weak #6).
+    """
+    if want_sym:
+        try:
+            return _export_one(fn, args, True), True, None
+        except Exception as e:  # noqa: BLE001 — reason is surfaced, not hidden
+            reason = f"{type(e).__name__}: {e}"[:500]
+            import warnings
+
+            warnings.warn(
+                f"symbolic-batch export failed, falling back to fixed batch: "
+                f"{reason}",
+                stacklevel=2,
+            )
+            return _export_one(fn, args, False), False, reason
+    return _export_one(fn, args, False), False, None
 
 
 def export_mcm(
@@ -101,14 +129,9 @@ def export_mcm(
             )
             return out["x_hat"]
 
-        try:
-            blob = _export_one(forward, (imgs, scores), symbolic_batch)
-            sym = True
-        except Exception:
-            # symbolic-shape tracing can fail on batch-dependent reshapes;
-            # a fixed-batch artifact is still a valid deployment unit
-            blob = _export_one(forward, (imgs, scores), False)
-            sym = False
+        blob, sym, reason = _export_sym_or_fixed(
+            forward, (imgs, scores), symbolic_batch
+        )
         entries["forward.bin"] = blob
         manifest["programs"]["forward"] = {
             "file": "forward.bin",
@@ -116,6 +139,7 @@ def export_mcm(
             "in": [["b", 3, cfg.img_size, cfg.img_size], ["b", cfg.num_patches]]
             if sym
             else [[b, 3, cfg.img_size, cfg.img_size], [b, cfg.num_patches]],
+            **({"symbolic_fallback_reason": reason} if reason else {}),
         }
 
     if "encdec" in kinds:
@@ -153,17 +177,18 @@ def export_mcm(
             ("encode", enc, (imgs, scores)),
             ("decode", dec, dec_args),
         ):
-            try:
-                blob = _export_one(fn, args, symbolic_batch)
-                sym = True
-            except Exception:
-                blob = _export_one(fn, args, False)
-                sym = False
+            blob, sym, reason = _export_sym_or_fixed(fn, args, symbolic_batch)
             entries[f"{name}.bin"] = blob
+            # mirror the forward branch: a symbolic program's manifest must
+            # advertise the symbolic batch dim, not the example's (ADVICE r3)
             manifest["programs"][name] = {
                 "file": f"{name}.bin",
                 "symbolic_batch": sym,
-                "in": [list(np.shape(a)) for a in args],
+                "in": [
+                    (["b"] + list(np.shape(a))[1:]) if sym else list(np.shape(a))
+                    for a in args
+                ],
+                **({"symbolic_fallback_reason": reason} if reason else {}),
             }
 
     buf = io.BytesIO()
