@@ -1,4 +1,6 @@
 """Training infrastructure tests on the 8-device virtual CPU mesh."""
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -417,10 +419,16 @@ def test_train_cli_e2e_fsdp_tp(tmp_path, capsys):
     common = [
         "-d", str(root), "--batch-size", "4", "--val-batch-size", "2",
         "--debug-tiny", "--no-vgg", "--fsdp", "--tensor-parallel", "2",
+        "--fsdp-min-size", "256",
         "--output-dir", str(out), "--num-workers", "2", "--print-freq", "1",
     ]
     main(["-e", "1", *common])
-    assert "mesh data4 x model2 (FSDP x TP)" in capsys.readouterr().out
+    captured = capsys.readouterr().out
+    assert "mesh data4 x model2 (FSDP x TP)" in captured
+    # --fsdp-min-size 256 must make ZeRO-3 placement actually engage on the
+    # tiny model: the e2e exercises real sharded leaves, not just plumbing
+    m = re.search(r"FSDP sharded (\d+)/(\d+) param leaves", captured)
+    assert m and int(m.group(1)) > 0, captured
     assert list(out.glob("checkpoint*")), "no checkpoint written"
 
     main(["-e", "2", "--auto-resume", *common])

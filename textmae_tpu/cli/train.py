@@ -21,6 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fsdp_report(params, axis: str = "data") -> str:
+    """One line stating how many param leaves actually FSDP-sharded — a
+    debug-tiny run where every kernel is below --fsdp-min-size silently
+    exercises only the plumbing (ADVICE r3), so the placement is printed
+    (and e2e-asserted) rather than assumed."""
+    leaves = jax.tree.leaves(params)
+    n_sharded = 0
+    for leaf in leaves:
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None) or ()
+        for entry in spec:
+            names = entry if isinstance(entry, tuple) else (entry,)
+            if axis in names:
+                n_sharded += 1
+                break
+    return f"FSDP sharded {n_sharded}/{len(leaves)} param leaves over '{axis}'"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the MCM compression model (TPU).")
     p.add_argument("-d", "--dataset", type=str, required=True, help="dataset root (train/ + val/)")
@@ -65,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "its Adam moments) over the 'data' mesh axis "
                         "(parallel/fsdp.py); composes with --tensor-parallel "
                         "into the 2-D data x model layout")
+    p.add_argument("--fsdp-min-size", type=int, default=2**13,
+                   help="parameters with fewer elements than this replicate "
+                        "instead of FSDP-sharding (all-gathering a LayerNorm "
+                        "scale costs more latency than the bytes it saves); "
+                        "lower it for debug-tiny models so sharding actually "
+                        "engages")
     p.add_argument("--moe-experts", type=int, default=0,
                    help="mixture-of-experts MAE encoder: every "
                         "--moe-every'th encoder block's MLP becomes this "
@@ -200,8 +223,11 @@ def main(argv=None):
         if args.fsdp:
             from textmae_tpu.parallel import shard_params_fsdp
 
-            params = shard_params_fsdp(params, mesh, tp_axis="model")
+            params = shard_params_fsdp(
+                params, mesh, min_size=args.fsdp_min_size, tp_axis="model"
+            )
             print(f"mesh data{ndev // tp} x model{tp} (FSDP x TP)")
+            print(_fsdp_report(params))
         else:
             from textmae_tpu.parallel import shard_params
 
@@ -212,8 +238,9 @@ def main(argv=None):
         if args.fsdp:
             from textmae_tpu.parallel import shard_params_fsdp
 
-            params = shard_params_fsdp(params, mesh)
+            params = shard_params_fsdp(params, mesh, min_size=args.fsdp_min_size)
             print(f"mesh data{mesh.shape['data']} (FSDP / ZeRO-3)")
+            print(_fsdp_report(params))
 
     vgg_variables = None
     if not args.no_vgg:
@@ -264,7 +291,9 @@ def main(argv=None):
                 resharder = shard_params_tp_ep
             elif args.fsdp:
                 resharder = functools.partial(
-                    shard_params_fsdp, tp_axis="model" if tp > 1 else None
+                    shard_params_fsdp,
+                    min_size=args.fsdp_min_size,
+                    tp_axis="model" if tp > 1 else None,
                 )
             elif tp > 1:
                 resharder = shard_params

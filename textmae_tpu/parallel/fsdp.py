@@ -20,6 +20,12 @@ Rules (per leaf):
     tp_axis="model")`` starts from sharding_rules' Megatron specs and adds
     the "data" axis on a remaining dim (the standard 2-D FSDP x TP layout).
 
+Multi-host: the "data" axis spans processes under cli.launch; checkpoint
+saves gather cross-process shards collectively (train/checkpoint.py
+``save_checkpoint`` routes non-fully-addressable leaves through
+``multihost_utils.process_allgather`` on EVERY process before the lead
+writes), so ZeRO-3 training checkpoints work beyond one host.
+
 No reference counterpart (PARITY.md §2.8 ✚). The recipe follows the public
 jax scaling-book / t5x "fsdp as a mesh axis" pattern; implementation original.
 """

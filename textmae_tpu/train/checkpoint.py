@@ -46,15 +46,29 @@ def save_checkpoint(directory: os.PathLike, name: str, state, meta: Dict) -> Opt
     does not depend on custom pytree node ordering (optax named tuples,
     flax.struct dataclasses).
     """
+    import flax.serialization
+
+    # Cross-process-sharded leaves (multi-host FSDP: parallel/fsdp.py shards
+    # params + moments over the "data" axis, which spans processes under
+    # cli.launch) cannot be np.asarray'd on one host. process_allgather is a
+    # COLLECTIVE — every process must participate — so the gather runs before
+    # the lead-only early return below.
+    def _to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    state_host = jax.tree.map(_to_host, state)
     if not is_lead_process():
         return None
-    import flax.serialization
 
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     path = (directory / name).resolve()
     payload = {
-        "state": flax.serialization.to_state_dict(jax.tree.map(np.asarray, state)),
+        "state": flax.serialization.to_state_dict(state_host),
         "meta": meta,
     }
     ckptr = _checkpointer()
