@@ -1,0 +1,157 @@
+"""FLOPs accounting + MFU for bench/verification reporting.
+
+The reference records throughput only (testing.py:242-250 emits per-image
+timings into its eval JSON); on TPU the scoreboard axis is MFU — measured
+FLOP/s as a fraction of the chip's peak — because it says how far from
+roofline a program runs independent of batch size or host overhead.
+
+FLOPs come from XLA itself: ``compiled_flops`` reads the compiled
+executable's ``cost_analysis()['flops']``, so the number reflects the
+program XLA actually runs (post-fusion, including convs, attention and the
+entropy-model math) rather than a hand-derived estimate that drifts from
+the model. Verified exact on the tunnel chip (2*256^3 for a 256 matmul).
+
+Peaks are the published per-chip bf16 numbers; MFU against a bf16 peak is
+the standard convention for mixed-precision transformer workloads (the
+scaling book's accounting). For f32-dominated programs the true ceiling is
+lower, making the reported MFU conservative.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+# published dense peak FLOP/s per chip (bf16 on MXU)
+_PEAKS = (
+    ("v6", 918e12),       # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),  # v5e device_kind reports "TPU v5 lite"
+    ("v5e", 197e12),
+    ("v5", 459e12),       # plain "TPU v5" => v5p
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def chip_peak_flops(device=None) -> Optional[float]:
+    """Peak bf16 FLOP/s for the local chip; None off-TPU (no MFU there)."""
+    import jax
+
+    if device is None:
+        devices = jax.devices()
+        if not devices:
+            return None
+        device = devices[0]
+    if device.platform != "tpu":
+        return None
+    kind = device.device_kind.lower()
+    for key, peak in _PEAKS:
+        if key in kind:
+            return peak
+    return None
+
+
+def compiled_flops(jitted, *args, **kwargs) -> Optional[float]:
+    """Total FLOPs of one call of an already-jitted function at these args,
+    from the compiled executable's cost analysis; None when the backend
+    does not expose it (some PJRT plugins).
+
+    Caveat (measured, tests/test_flops.py): XLA's HloCostAnalysis counts a
+    while-loop body ONCE, so programs with `lax.scan` under-count by
+    (trip_count - 1) bodies — use the analytic estimators for such programs.
+    """
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _conv3_flops(h: int, w: int, cin: int, cout: int, stride: int = 1) -> float:
+    """2·cin·cout·(valid taps) for a 3x3 SAME conv — XLA's cost analysis
+    counts only in-bounds kernel taps at padded borders (measured: 0.694x
+    naive on a 4x4 grid), so small-grid terms must too."""
+
+    def taps1d(size: int) -> int:
+        out = -(-size // stride)
+        total = 0
+        for i in range(out):
+            c = i * stride
+            total += min(c + 1, size - 1) - max(c - 1, 0) + 1
+        return total
+
+    return 2.0 * cin * cout * taps1d(h) * taps1d(w)
+
+
+def _block_flops(tokens: int, dim: int, mlp_ratio: float) -> float:
+    """Transformer block: qkv+proj (8·T·D²) + MLP (4·r·T·D²) + attention
+    score/value matmuls (4·T²·D); multiply-add = 2 FLOPs."""
+    return (8 + 4 * mlp_ratio) * tokens * dim**2 + 4 * tokens**2 * dim
+
+
+def mcm_forward_flops(cfg, batch: int = 1) -> float:
+    """Analytic FLOPs of one eval-mode MCM forward (encode+decode halves
+    together — the codec's device programs compute the same math split into
+    pieces). Derived dim-by-dim from models/mcm.py; validated against the
+    compiled program's own cost_analysis in tests/test_flops.py.
+
+    Elementwise ops (norms, gelu, likelihoods, masking) are omitted — they
+    are O(activations), dominated by the matmul/conv terms counted here, so
+    the estimate is a slight under-count (conservative for MFU).
+    """
+    P, L, E = cfg.patch_size, cfg.num_patches, cfg.encoder_embed_dim
+    D, K, g = cfg.decoder_embed_dim, cfg.num_keep_patches, cfg.keep_grid
+    M, S = cfg.latent_depth, cfg.num_slices
+    hg = cfg.hyper_grid
+    r = cfg.mlp_ratio
+
+    f = 0.0
+    # patch embed + MAE encoder over K+1 kept tokens
+    f += 2 * L * E * (P**2 * cfg.in_chans)
+    f += cfg.encoder_depth * _block_flops(K + 1, E, r)
+    # g_a / g_s 1x1 ladders on the keep grid
+    for cin, cout in zip((E,) + cfg.ga_channels, cfg.ga_channels):
+        f += 2 * K * cin * cout
+    for cin, cout in zip((M,) + cfg.gs_channels, cfg.gs_channels):
+        f += 2 * K * cin * cout
+    # h_a: 3x3 ladder, strides (1,1,2,1,2) starting from the keep grid
+    s = g
+    for cin, cout, stride in zip(
+        (M,) + cfg.ha_channels, cfg.ha_channels, (1, 1, 2, 1, 2)
+    ):
+        f += _conv3_flops(s, s, cin, cout, stride)
+        s = -(-s // stride)
+    # h_s mean + scale: conv3x3 / subpel x2 / conv3x3 / subpel x2 / conv3x3
+    hs = (cfg.hyperprior_depth,) + cfg.hs_channels
+    for _ in range(2):  # mean and scale nets
+        s = hg
+        for i, (cin, cout) in enumerate(zip(hs, cfg.hs_channels)):
+            mult = 4 if i in (1, 3) else 1  # subpel convs emit 4·cout then shuffle
+            f += _conv3_flops(s, s, cin, cout * mult)
+            if mult == 4:
+                s *= 2
+    # slice chain: per slice, two cc nets + one LRP net of 3x3 convs at g x g
+    cc_in = M + cfg.group_ch * cfg.max_support
+    lrp_in = M + cfg.group_ch * (cfg.max_support + 1)
+    for net_in, count in ((cc_in, 2), (lrp_in, 1)):
+        net = 0.0
+        for cin, cout in zip((net_in,) + cfg.cc_channels, cfg.cc_channels):
+            net += _conv3_flops(g, g, cin, cout)
+        f += S * count * net
+    # MAE decoder: embed on K tokens, blocks over L+1, pred back to pixels
+    f += 2 * K * E * D
+    f += cfg.decoder_depth * _block_flops(L + 1, D, r)
+    f += 2 * (L + 1) * D * (P**2 * cfg.in_chans)
+    return batch * f
+
+
+def mfu(flops_per_s: float, device=None) -> Optional[float]:
+    """Model FLOPs utilization: achieved / peak for the local chip."""
+    peak = chip_peak_flops(device)
+    if not peak or flops_per_s <= 0:
+        return None
+    return flops_per_s / peak
