@@ -1,15 +1,35 @@
 #!/usr/bin/env python
-"""Benchmark: Kodak-24 compress+decompress throughput on one TPU chip.
+"""Benchmark: Kodak-24 compress+decompress throughput + MFU on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-North-star target (BASELINE.json): >50 images/sec/chip for Kodak-24
-compress+decompress on v5e; vs_baseline = value / 50.
+Prints JSON scoreboard lines: {"metric", "value", "unit", "vs_baseline",
+...extras}. The LAST parseable line is the record. North-star target
+(BASELINE.json): >50 images/sec/chip for Kodak-24 compress+decompress on
+v5e; vs_baseline = value / 50.
+
+Design invariant (VERDICT r3): anything measured hits the driver-visible
+stream the moment it exists. Concretely:
+  * the child prints the FULL cumulative scoreboard line after the headline
+    and again after EVERY optional stage (incremental enrichment) — a kill
+    at any point leaves everything measured so far on stdout;
+  * the supervisor TEEs the child's stdout line-by-line as lines arrive
+    (never buffers-then-relays), so even a driver kill of the supervisor
+    leaves the child's lines in the artifact tail;
+  * all budgets fit INSIDE the driver's ~30-minute kill: total supervisor
+    budget 1700 s, per-attempt timeout 1200 s, child soft deadline 900 s,
+    headline first, optional stages cheapest-first against an end-to-end
+    ledger (est. costs are cold-cache; a warm /tmp/jax_cache runs them all).
 
 Pipeline measured per image (steady state, after warmup/compile):
   score-guided masked ViT encode -> hyperprior -> 12-slice conditional chain
   -> C++ rANS encode -> rANS decode -> slice chain -> ViT decode -> image,
   including the subset-coded ids_restore side info. Host coding threads
   overlap device math across the batch.
+
+MFU fields: analytic model FLOPs (utils/flops.py, validated against XLA's
+own cost analysis) over measured wall-clock, vs the chip's published bf16
+peak. The codec number is model-FLOPs utilization of the whole round trip —
+host rANS + tunnel RTTs included in the denominator, so it reads as "what
+fraction of the chip the end-to-end codec keeps busy".
 """
 import json
 import os
@@ -66,6 +86,7 @@ def main():
     from textmae_tpu.eval import MCMCodec, compute_metrics
     from textmae_tpu.eval.harness import code_side_info
     from textmae_tpu.models.mcm import MCM, MCMConfig
+    from textmae_tpu.utils.flops import chip_peak_flops, mcm_forward_flops
 
     imgs_np, grays = load_images()
     n = imgs_np.shape[0]
@@ -137,7 +158,7 @@ def main():
         dec = time.time() - t0
         with phase_lock:
             # NOTE: phases of concurrent round trips overlap in wall clock;
-            # enc/dec_s_per_rep are occupancy sums, not critical-path time
+            # enc/dec occupancy fields are busy-time sums, not critical path
             phase_acc["enc"] += enc
             phase_acc["dec"] += dec
         bits = [s.num_bits() + len(p) * 8 for s, p in zip(streams, payloads)]
@@ -169,13 +190,13 @@ def main():
     metrics = compute_metrics(imgs, to_pixels(x_hat))
     setup_s = time.time() - t_setup
 
-    # Soft wall-clock budget for the OPTIONAL stages below: on a cold compile
-    # cache (fresh box at driver time) the stage-1/3 + full-dims compiles can
-    # push the child past the supervisor's attempt timeout and lose the
-    # already-measured headline. Each optional stage declares a conservative
-    # cost and is skipped (with a machine-readable note) once the budget says
-    # it cannot finish before BENCH_SOFT_DEADLINE seconds of child runtime.
-    soft_deadline = float(os.environ.get("BENCH_SOFT_DEADLINE", "2100"))
+    # End-to-end soft budget for the OPTIONAL stages below (VERDICT r3: both
+    # the old 2100 s deadline and the 2700 s attempt timeout exceeded the
+    # driver's ~30-min kill, so the salvage machinery could never fire).
+    # 900 s default: on a cold compile cache the headline setup is most of
+    # it and only the cheap stages run; warm, everything fits. The
+    # supervisor shrinks it further to fit its remaining attempt window.
+    soft_deadline = float(os.environ.get("BENCH_SOFT_DEADLINE", "900"))
 
     def stage_fits(est_s: float) -> bool:
         return (time.time() - t_setup) + est_s <= soft_deadline
@@ -204,125 +225,183 @@ def main():
     # on identical code) would otherwise dominate a single measurement
     img_per_s = max(measure_window() for _ in range(windows))
 
-    # preliminary headline, printed BEFORE the optional stages: if the child
-    # is killed mid-extras (cold-cache compiles at driver time), the
-    # supervisor salvages this line instead of losing the measurement. The
-    # final enriched line below supersedes it (the supervisor takes the LAST
-    # parseable scoreboard line).
-    print(
-        json.dumps(
-            {
-                "metric": "kodak24_compress_decompress",
-                "value": round(img_per_s, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_s / TARGET_IMG_PER_S, 4),
-                "bpp": round(bpp, 4),
-                "psnr": round(metrics["psnr"], 3),
-                "ms_ssim": round(metrics["ms-ssim"], 5),
-                "backend": jax.default_backend(),
-                "untrained": untrained,
-                "note": "headline only; optional stages still running",
-            }
+    # ---- cumulative scoreboard: R holds every field measured so far and is
+    # re-printed in full after the headline and after each optional stage,
+    # so the last line on stdout is always the most enriched record.
+    R = {
+        "metric": "kodak24_compress_decompress",
+        "value": round(img_per_s, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / TARGET_IMG_PER_S, 4),
+        "bpp": round(bpp, 4),
+        "psnr": round(metrics["psnr"], 3),
+        "ms_ssim": round(metrics["ms-ssim"], 5),
+        "backend": jax.default_backend(),
+        "setup_s": round(setup_s, 1),
+        # occupancy sums across overlapped round-trip threads, NOT
+        # critical-path time (phases of concurrent reps interleave)
+        "enc_occupancy_s_per_rep": round(
+            phase_acc["enc"] / max(reps * windows, 1), 3
         ),
-        flush=True,
-    )
+        "dec_occupancy_s_per_rep": round(
+            phase_acc["dec"] / max(reps * windows, 1), 3
+        ),
+        "untrained": untrained,
+        "note": (
+            "untrained weights; bpp/psnr are pipeline sanity values only"
+            if untrained
+            else f"trained checkpoint {ckpt.name}; metrics in raw pixel space"
+        ),
+    }
 
-    # ---- stage 1 (caption) throughput: native flax BLIP-2 (vision ->
-    # Q-Former -> OPT greedy scan, two jitted programs). Real blip2-opt-2.7b
-    # weights are not downloadable here, so reduced dims + random weights;
-    # fields are labelled accordingly. BENCH_CAPTION=0 skips.
-    caption_fields = {}
-    caption_rate = None
-    if os.environ.get("BENCH_CAPTION", "1") != "0" and not stage_fits(240):
-        caption_fields = {"caption_note": "skipped: soft deadline"}
-    elif os.environ.get("BENCH_CAPTION", "1") != "0":
-        try:
-            from textmae_tpu.captioning import Blip2Captioner, Blip2Config
+    # MFU of the end-to-end codec: analytic model FLOPs per image (encode +
+    # decode halves; utils/flops.py, cost-analysis-validated) over measured
+    # wall-clock vs the chip's published bf16 peak. Free to compute.
+    peak = chip_peak_flops()
+    fwd_flops = mcm_forward_flops(cfg, batch=1)
+    R["flops_per_image_g"] = round(fwd_flops / 1e9, 3)
+    if peak:
+        R["chip_peak_tflops"] = round(peak / 1e12, 1)
+        R["codec_mfu"] = round(fwd_flops * img_per_s / peak, 5)
+        R["mfu_note"] = (
+            "codec_mfu = analytic model FLOPs x img/s / bf16 peak; the round "
+            "trip includes host rANS + per-slice host-device alternations "
+            "(tunnel RTT-bound here), so this is end-to-end chip utilization, "
+            "not kernel efficiency"
+        )
 
-            captioner = Blip2Captioner(Blip2Config.tiny(dtype=jnp.bfloat16))
-            cpix = captioner.preprocess(imgs_np)
-            captioner.generate_ids(cpix)  # compile
-            t0 = time.time()
-            caption_reps = max(reps // 2, 1)
-            for _ in range(caption_reps):
-                ids = captioner.generate_ids(cpix)
-            caption_rate = n * caption_reps / (time.time() - t0)
-            caption_fields = {
-                "caption_img_per_s": round(caption_rate, 3),
-                "caption_note": "native flax BLIP-2, reduced dims, random weights",
-            }
-        except Exception as e:
-            caption_fields = {"caption_note": f"skipped: {e}"}
+    def emit():
+        print(json.dumps(R), flush=True)
 
-    # ---- stage 3 (refine) throughput: the north-star metric names
-    # compress+decompress+REFINE (BASELINE.json). Real SDXL weights are not
-    # downloadable here, so the refiner runs the full native code path
-    # (VAE encode -> Euler/UNet scan with CFG -> VAE decode, one jit) at
-    # reduced dims; fields are labelled accordingly. BENCH_REFINE=0 skips.
-    refine_fields = {}
-    if os.environ.get("BENCH_REFINE", "1") != "0" and not stage_fits(420):
-        refine_fields = {"refine_note": "skipped: soft deadline"}
-    elif os.environ.get("BENCH_REFINE", "1") != "0":
-        try:
-            from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
+    emit()
 
-            refiner = SDXLRefiner(RefinerConfig.tiny(dtype=jnp.bfloat16))
-            caps = ["kodak photograph"] * n
-            pix = np.asarray(to_pixels(x_hat)).transpose(0, 2, 3, 1)
-            refined = jax.block_until_ready(refiner.refine_batch(pix, caps))
-            t0 = time.time()
-            refine_reps = max(reps // 2, 1)
-            for _ in range(refine_reps):
-                refined = refiner.refine_batch(pix, caps)
-            jax.block_until_ready(refined)
-            refine_rate = n * refine_reps / (time.time() - t0)
+    # ---- optional stages, cheapest-first, each printing the enriched
+    # cumulative line the moment it finishes. Estimates are cold-cache.
+    def stage_train():
+        # steady-state flagship MCM train step (bf16, no VGG — the perceptual
+        # net is weight-IO, not train-path compute). Interleaved warm-up
+        # (VERIFICATION.md: first-window tunnel readings are compile noise).
+        from textmae_tpu.train import (
+            TrainState,
+            configure_optimizers,
+            make_train_step,
+        )
 
-            # measured 3-stage pipeline: caption -> codec -> refine per rep,
-            # reps overlapped in threads so stage k's refine (device-bound)
-            # fills the host-sync gaps of stage k+1's codec decode; the
-            # decoded batch is handed to the refiner ON DEVICE (NCHW->NHWC
-            # via jnp), so nothing but bitstreams crosses the tunnel
-            caps24 = ["kodak photograph"] * n
+        tb = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+        t_imgs = imgs_model[:tb]
+        t_scores = scores[:tb]
+        t_vars = jax.jit(
+            lambda r: model.init(
+                {"params": r, "noise": r}, t_imgs, t_scores,
+                training=False, compute_loss=False,
+            )
+        )(jax.random.PRNGKey(2))
+        t_tx = configure_optimizers(t_vars["params"])
+        t_state = TrainState.create(t_vars["params"], t_tx)
+        t_step = make_train_step(model, t_tx, lmbda=1e-4)
+        t_batch = {"imgs": t_imgs, "scores": t_scores}
+        for _ in range(3):  # compile + donation recompile + warm
+            t_state, t_m = t_step(t_state, t_batch, jax.random.PRNGKey(3))
+        jax.block_until_ready(t_m["loss"])
+        t0 = time.time()
+        t_n = 30
+        for _ in range(t_n):
+            t_state, t_m = t_step(t_state, t_batch, jax.random.PRNGKey(3))
+        jax.block_until_ready(t_m["loss"])
+        step_ms = (time.time() - t0) / t_n * 1000
+        out = {
+            "train_step_ms": round(step_ms, 2),
+            "train_img_per_s": round(tb / (step_ms / 1000), 1),
+            "train_note": f"flagship MCM train step, batch {tb}, "
+                          "224x224, bf16, no VGG, fresh init",
+        }
+        if peak:
+            # fwd + bwd ~= 3x forward model FLOPs (standard accounting)
+            out["train_mfu"] = round(
+                3 * mcm_forward_flops(cfg, tb) / (step_ms / 1000) / peak, 5
+            )
+        return out
 
-            def full_rep():
-                if caption_rate:
-                    captioner.generate_ids(cpix)
-                x_hat_r, _ = round_trip()
-                pix_r = jnp.transpose(to_pixels(x_hat_r), (0, 2, 3, 1))
-                jax.block_until_ready(refiner.refine_batch(pix_r, caps24))
+    def stage_caption():
+        # stage 1: native flax BLIP-2 (vision -> Q-Former -> OPT greedy scan,
+        # two jitted programs). Real blip2-opt-2.7b weights are not
+        # downloadable here, so reduced dims + random weights, labelled.
+        from textmae_tpu.captioning import Blip2Captioner, Blip2Config
 
-            full_rep()  # compile the device-side handoff at this shape
-            t0 = time.time()
-            if pipeline > 1:
-                from concurrent.futures import ThreadPoolExecutor
+        captioner = Blip2Captioner(Blip2Config.tiny(dtype=jnp.bfloat16))
+        cpix = captioner.preprocess(imgs_np)
+        captioner.generate_ids(cpix)  # compile
+        t0 = time.time()
+        caption_reps = max(reps // 2, 1)
+        for _ in range(caption_reps):
+            captioner.generate_ids(cpix)
+        caption_rate = n * caption_reps / (time.time() - t0)
+        state["captioner"], state["cpix"] = captioner, cpix
+        return {
+            "caption_img_per_s": round(caption_rate, 3),
+            "caption_note": "native flax BLIP-2, reduced dims, random weights",
+        }
 
-                with ThreadPoolExecutor(pipeline) as pool:
-                    list(pool.map(lambda _: full_rep(), range(reps)))
-            else:
-                for _ in range(reps):
-                    full_rep()
-            pipeline_rate = n * reps / (time.time() - t0)
-            stages = ("caption+codec+refine" if caption_rate else "codec+refine")
-            refine_fields = {
-                "refine_img_per_s": round(refine_rate, 3),
-                "pipeline_img_per_s": round(pipeline_rate, 3),
-                "refine_note": "native flax refiner, reduced dims, random weights",
-                "pipeline_note": f"measured {stages}, reps overlapped",
-            }
-        except Exception as e:  # never let stage 3 sink the headline bench
-            refine_fields = {"refine_note": f"skipped: {e}"}
+    def stage_refine():
+        # stage 3: the north-star metric names compress+decompress+REFINE
+        # (BASELINE.json). Real SDXL weights are not downloadable here, so
+        # the refiner runs the full native path (VAE encode -> Euler/UNet
+        # scan with CFG -> VAE decode, one jit) at reduced dims, labelled.
+        from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
 
-    # ---- stages 1/3 at the PUBLISHED dims (VERDICT r2 Missing #4): the
-    # tiny-dims numbers above measure pipeline plumbing; these measure the
-    # same native stacks at real blip2-opt-2.7b / SDXL-refiner-1.0 widths
-    # (random weights — real weights are not downloadable in this
-    # environment, but FLOPs and memory traffic are representative). Params
-    # are bf16 (~3B per stage only fits a 16 GB chip that way); the stages
-    # run and are measured sequentially, each freed before the next.
-    full_fields = {}
-    if os.environ.get("BENCH_FULL_DIMS", "1") != "0" and not stage_fits(600):
-        full_fields = {"full_dims_note": "skipped: soft deadline"}
-    elif os.environ.get("BENCH_FULL_DIMS", "1") != "0":
+        refiner = SDXLRefiner(RefinerConfig.tiny(dtype=jnp.bfloat16))
+        caps = ["kodak photograph"] * n
+        pix = np.asarray(to_pixels(x_hat)).transpose(0, 2, 3, 1)
+        refined = jax.block_until_ready(refiner.refine_batch(pix, caps))
+        t0 = time.time()
+        refine_reps = max(reps // 2, 1)
+        for _ in range(refine_reps):
+            refined = refiner.refine_batch(pix, caps)
+        jax.block_until_ready(refined)
+        refine_rate = n * refine_reps / (time.time() - t0)
+
+        # measured 3-stage pipeline: caption -> codec -> refine per rep,
+        # reps overlapped in threads so stage k's refine (device-bound)
+        # fills the host-sync gaps of stage k+1's codec decode; the decoded
+        # batch is handed to the refiner ON DEVICE (NCHW->NHWC via jnp), so
+        # nothing but bitstreams crosses the tunnel
+        captioner, cpix = state.get("captioner"), state.get("cpix")
+
+        def full_rep():
+            if captioner is not None:
+                captioner.generate_ids(cpix)
+            x_hat_r, _ = round_trip()
+            pix_r = jnp.transpose(to_pixels(x_hat_r), (0, 2, 3, 1))
+            jax.block_until_ready(refiner.refine_batch(pix_r, caps))
+
+        full_rep()  # compile the device-side handoff at this shape
+        t0 = time.time()
+        if pipeline > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(pipeline) as pool:
+                list(pool.map(lambda _: full_rep(), range(reps)))
+        else:
+            for _ in range(reps):
+                full_rep()
+        pipeline_rate = n * reps / (time.time() - t0)
+        stages_s = "caption+codec+refine" if captioner is not None else "codec+refine"
+        return {
+            "refine_img_per_s": round(refine_rate, 3),
+            "pipeline_img_per_s": round(pipeline_rate, 3),
+            "refine_note": "native flax refiner, reduced dims, random weights",
+            "pipeline_note": f"measured {stages_s}, reps overlapped",
+        }
+
+    def stage_full_dims():
+        # stages 1/3 at the PUBLISHED dims: the tiny-dims numbers measure
+        # pipeline plumbing; these measure the same native stacks at real
+        # blip2-opt-2.7b / SDXL-refiner-1.0 widths (random weights — real
+        # weights are not downloadable in this environment, but FLOPs and
+        # memory traffic are representative). Params are bf16 (~3B per stage
+        # only fits a 16 GB chip that way); stages run sequentially, each
+        # freed before the next.
+        out = {}
         fb = int(os.environ.get("BENCH_FULL_BATCH", "8"))
         full_caps = ["kodak photograph"] * fb
         try:
@@ -336,12 +415,10 @@ def main():
             t0 = time.time()
             for _ in range(2):
                 ids_f = cap_f.generate_ids(pix_f)
-            full_fields["caption_full_img_per_s"] = round(
-                fb * 2 / (time.time() - t0), 3
-            )
+            out["caption_full_img_per_s"] = round(fb * 2 / (time.time() - t0), 3)
             del cap_f, pix_f, ids_f
         except Exception as e:
-            full_fields["caption_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+            out["caption_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
         try:
             from textmae_tpu.diffusion import RefinerConfig, SDXLRefiner
 
@@ -354,127 +431,90 @@ def main():
             for _ in range(2):
                 out_f = ref_f.refine_batch(pix_full, full_caps)
             jax.block_until_ready(out_f)
-            full_fields["refine_full_img_per_s"] = round(
-                fb * 2 / (time.time() - t0), 3
-            )
+            out["refine_full_img_per_s"] = round(fb * 2 / (time.time() - t0), 3)
             del ref_f, out_f
-            full_fields["full_dims_note"] = (
+            out["full_dims_note"] = (
                 f"published blip2-opt-2.7b / SDXL-refiner widths, bf16 params, "
                 f"random weights, batch {fb}, 224x224"
             )
         except Exception as e:
-            full_fields["refine_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+            out["refine_full_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+        return out
 
-    # ---- training throughput: steady-state flagship MCM train step (bf16,
-    # no VGG — the perceptual net is weight-IO, not train-path compute).
-    # Interleaved warm-up protocol (VERIFICATION.md: first-window readings on
-    # the tunnel are compile/queue noise). BENCH_TRAIN=0 skips.
-    train_fields = {}
-    if os.environ.get("BENCH_TRAIN", "1") != "0" and not stage_fits(180):
-        train_fields = {"train_note": "skipped: soft deadline"}
-    elif os.environ.get("BENCH_TRAIN", "1") != "0":
-        try:
-            from textmae_tpu.train import (
-                TrainState,
-                configure_optimizers,
-                make_train_step,
+    def stage_tiled():
+        # native-resolution tiled round trip (eval/tiling.py): the reference
+        # DOWNSCALES every image to 224 (full-res content simply lost,
+        # utils/dataloader.py:59-73); this framework compresses at original
+        # resolution by batching independent 224 tiles through the codec.
+        from PIL import Image
+
+        from textmae_tpu.data.paths import find_kodak
+        from textmae_tpu.eval.tiling import inference_tiled
+
+        tiled_dir = find_kodak()
+        tfiles = sorted(tiled_dir.glob("*.png")) if tiled_dir else []
+        tn = min(int(os.environ.get("BENCH_TILED_N", "6")), len(tfiles))
+        if tn == 0:
+            raise FileNotFoundError("no Kodak images for the tiled stage")
+        # prefer a native-res-matched checkpoint when committed (trained on
+        # native-res tile crops — in-distribution full-res metrics); fall
+        # back to the headline codec (labelled OOD capability metric)
+        tiled_ckpt = Path(__file__).parent / "checkpoints" / "mcm_crop_l1_100k.f16.npz"
+        tcodec, tnorm, tnote = codec, not untrained, (
+            "224-trained headline checkpoint — native-res tiles are "
+            "out-of-distribution for its PSNR"
+        )
+        if tiled_ckpt.is_file():
+            from textmae_tpu.train.checkpoint import load_npz_meta, load_params_npz
+            import dataclasses as _dc
+
+            tmeta = load_npz_meta(tiled_ckpt)
+            tkw = {}
+            if "num_keep_patches" in tmeta:
+                tkw["num_keep_patches"] = int(tmeta["num_keep_patches"])
+            if "canonical_keep_order" in tmeta:
+                tkw["canonical_keep_order"] = bool(tmeta["canonical_keep_order"])
+            tcfg = _dc.replace(cfg, **tkw) if tkw else cfg
+            tmodel = MCM(tcfg) if tkw else model
+            tcodec = MCMCodec(tmodel, {"params": load_params_npz(tiled_ckpt)},
+                              num_threads=16)
+            tcodec.update(force=True)
+            tnorm = bool(tmeta.get("normalize", True))
+            tnote = (
+                f"native-res-matched checkpoint {tiled_ckpt.name} "
+                "(trained on native-res tile crops; in-distribution)"
             )
+        arrs = []
+        for f in tfiles[:tn]:
+            with Image.open(f) as im:
+                arrs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+        # warm-up: compile the tile-batch compress/decompress programs
+        # off the clock (cold they cost minutes over the tunnel)
+        inference_tiled(tcodec, arrs[0], normalize=tnorm)
+        t_res, t_pixels, t0 = [], 0, time.time()
+        for arr in arrs:
+            r = inference_tiled(tcodec, arr, normalize=tnorm)
+            r.pop("x_hat")
+            t_res.append(r)
+            t_pixels += arr.shape[0] * arr.shape[1]
+        t_wall = time.time() - t0
+        return {
+            "tiled_psnr": round(float(np.mean([r["psnr"] for r in t_res])), 3),
+            "tiled_ms_ssim": round(
+                float(np.mean([r["ms-ssim"] for r in t_res])), 5
+            ),
+            "tiled_bpp": round(float(np.mean([r["bpp"] for r in t_res])), 4),
+            "tiled_mpix_per_s": round(t_pixels / t_wall / 1e6, 3),
+            "tiled_note": f"native-res Kodak x{tn} via 224-tile batching; "
+                          + tnote,
+        }
 
-            tb = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
-            t_imgs = imgs_model[:tb]
-            t_scores = scores[:tb]
-            t_vars = jax.jit(
-                lambda r: model.init(
-                    {"params": r, "noise": r}, t_imgs, t_scores,
-                    training=False, compute_loss=False,
-                )
-            )(jax.random.PRNGKey(2))
-            t_tx = configure_optimizers(t_vars["params"])
-            t_state = TrainState.create(t_vars["params"], t_tx)
-            t_step = make_train_step(model, t_tx, lmbda=1e-4)
-            t_batch = {"imgs": t_imgs, "scores": t_scores}
-            for _ in range(3):  # compile + donation recompile + warm
-                t_state, t_m = t_step(t_state, t_batch, jax.random.PRNGKey(3))
-            jax.block_until_ready(t_m["loss"])
-            t0 = time.time()
-            t_n = 30
-            for _ in range(t_n):
-                t_state, t_m = t_step(t_state, t_batch, jax.random.PRNGKey(3))
-            jax.block_until_ready(t_m["loss"])
-            step_ms = (time.time() - t0) / t_n * 1000
-            train_fields = {
-                "train_step_ms": round(step_ms, 2),
-                "train_img_per_s": round(tb / (step_ms / 1000), 1),
-                "train_note": f"flagship MCM train step, batch {tb}, "
-                              "224x224, bf16, no VGG, fresh init",
-            }
-            del t_vars, t_tx, t_state, t_step
-        except Exception as e:
-            train_fields = {"train_note": f"skipped: {type(e).__name__}: {e}"[:300]}
-
-    # ---- native-resolution tiled round trip (eval/tiling.py): the
-    # reference DOWNSCALES every image to 224 (its full-res content is
-    # simply lost, utils/dataloader.py:59-73); this framework compresses at
-    # the original resolution by batching independent 224 tiles through the
-    # same codec. Metrics are true full-res PSNR over the original pixels.
-    # BENCH_TILED=0 skips; BENCH_TILED_N bounds the image count.
-    tiled_fields = {}
-    if os.environ.get("BENCH_TILED", "1") != "0" and not stage_fits(240):
-        tiled_fields = {"tiled_note": "skipped: soft deadline"}
-    elif os.environ.get("BENCH_TILED", "1") != "0":
-        try:
-            from PIL import Image
-
-            from textmae_tpu.data.paths import find_kodak
-            from textmae_tpu.eval.tiling import inference_tiled
-
-            tiled_dir = find_kodak()
-            tfiles = sorted(tiled_dir.glob("*.png")) if tiled_dir else []
-            tn = min(int(os.environ.get("BENCH_TILED_N", "6")), len(tfiles))
-            if tn == 0:
-                raise FileNotFoundError("no Kodak images for the tiled stage")
-            arrs = []
-            for f in tfiles[:tn]:
-                with Image.open(f) as im:
-                    arrs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
-            # warm-up: compile the tile-batch compress/decompress programs
-            # off the clock (cold they cost minutes over the tunnel)
-            inference_tiled(codec, arrs[0], normalize=not untrained)
-            t_res, t_pixels, t0 = [], 0, time.time()
-            for arr in arrs:
-                r = inference_tiled(codec, arr, normalize=not untrained)
-                r.pop("x_hat")
-                t_res.append(r)
-                t_pixels += arr.shape[0] * arr.shape[1]
-            t_wall = time.time() - t0
-            tiled_fields = {
-                "tiled_psnr": round(float(np.mean([r["psnr"] for r in t_res])), 3),
-                "tiled_ms_ssim": round(
-                    float(np.mean([r["ms-ssim"] for r in t_res])), 5
-                ),
-                "tiled_bpp": round(float(np.mean([r["bpp"] for r in t_res])), 4),
-                "tiled_mpix_per_s": round(t_pixels / t_wall / 1e6, 3),
-                "tiled_note": f"native-res Kodak x{tn} via 224-tile batching "
-                              "(score maps per tile on host; capability "
-                              "metric — the committed checkpoint trained on "
-                              "downscaled-224 content, so native-res tiles "
-                              "are out-of-distribution for its PSNR)",
-            }
-        except Exception as e:
-            tiled_fields = {"tiled_note": f"skipped: {type(e).__name__}: {e}"[:300]}
-
-    # ---- R-D curve from ALL committed rate points (VERDICT r2 Missing #5):
-    # every checkpoints/*.f16.npz is one (bpp, psnr) point through the real
-    # codec; the headline checkpoint reuses the measured round trip, the
-    # others get one fresh round trip each. BENCH_RD_CURVE=0 skips.
-    rd_fields = {}
-    if (
-        not untrained
-        and os.environ.get("BENCH_RD_CURVE", "1") != "0"
-        and not stage_fits(300)
-    ):
-        rd_fields = {"rd_curve_note": "skipped: soft deadline"}
-    elif not untrained and os.environ.get("BENCH_RD_CURVE", "1") != "0":
+    def stage_rd_curve():
+        # R-D curve from ALL committed rate points: every
+        # checkpoints/*.f16.npz is one (bpp, psnr) point through the real
+        # codec; the headline checkpoint reuses the measured round trip.
+        if untrained:
+            return {}
         curve = [
             {
                 "ckpt": ckpt.name,
@@ -483,101 +523,89 @@ def main():
                 "ms_ssim": round(metrics["ms-ssim"], 5),
             }
         ]
-        try:
-            from textmae_tpu.train.checkpoint import load_npz_meta
+        from textmae_tpu.train.checkpoint import load_npz_meta, load_params_npz
 
-            import dataclasses
+        import dataclasses
 
-            for extra in sorted((Path(__file__).parent / "checkpoints").glob("*.f16.npz")):
-                if extra.resolve() == ckpt.resolve():
-                    continue
-                emeta = load_npz_meta(extra)
-                # self-configure from the checkpoint's provenance meta: a rate
-                # point trained at a different keep/order/normalize must not be
-                # silently evaluated under the headline config (that would put
-                # a wrong (bpp, psnr) point on the published curve)
-                ecfg_kw = {}
-                if "num_keep_patches" in emeta:
-                    ecfg_kw["num_keep_patches"] = int(emeta["num_keep_patches"])
-                if "canonical_keep_order" in emeta:
-                    ecfg_kw["canonical_keep_order"] = bool(
-                        emeta["canonical_keep_order"]
-                    )
-                ecfg = dataclasses.replace(cfg, **ecfg_kw) if ecfg_kw else cfg
-                emodel = MCM(ecfg) if ecfg_kw else model
-                # missing meta (old files) -> assume the headline distribution
-                if bool(emeta.get("normalize", not untrained)):
-                    eimgs_model, eto_pixels = imgs_model, to_pixels
-                else:
-                    # clip like the normalize branch (and rd_eval.py) so the
-                    # curve point matches what test_model/rd_eval report
-                    eimgs_model = imgs
-                    eto_pixels = lambda x: jnp.clip(x, 0.0, 1.0)
-                evars = {"params": load_params_npz(extra)}
-                ecodec = MCMCodec(emodel, evars, num_threads=16)
-                ecodec.update(force=True)
-                streams_e, ids_restore_e = ecodec.compress(eimgs_model, scores)
-                payloads_e, ids_e = code_side_info(
-                    ids_restore_e, ecfg.num_keep_patches, ecfg.canonical_keep_order
+        for extra in sorted((Path(__file__).parent / "checkpoints").glob("*.f16.npz")):
+            if extra.resolve() == ckpt.resolve():
+                continue
+            if extra.name == "mcm_crop_l1_100k.f16.npz":
+                continue  # the tiled stage's checkpoint; trained on tile crops
+            emeta = load_npz_meta(extra)
+            # self-configure from the checkpoint's provenance meta: a rate
+            # point trained at a different keep/order/normalize must not be
+            # silently evaluated under the headline config (that would put
+            # a wrong (bpp, psnr) point on the published curve)
+            ecfg_kw = {}
+            if "num_keep_patches" in emeta:
+                ecfg_kw["num_keep_patches"] = int(emeta["num_keep_patches"])
+            if "canonical_keep_order" in emeta:
+                ecfg_kw["canonical_keep_order"] = bool(
+                    emeta["canonical_keep_order"]
                 )
-                x_hat_e = ecodec.decompress(streams_e, ids_e)
-                m_e = compute_metrics(imgs, eto_pixels(x_hat_e))
-                bits_e = [
-                    s.num_bits() + len(p) * 8
-                    for s, p in zip(streams_e, payloads_e)
-                ]
-                curve.append(
-                    {
-                        "ckpt": extra.name,
-                        "bpp": round(float(np.mean(bits_e)) / (224 * 224), 4),
-                        "psnr": round(m_e["psnr"], 3),
-                        "ms_ssim": round(m_e["ms-ssim"], 5),
-                        **(
-                            {"lmbda": float(emeta["lmbda"])}
-                            if "lmbda" in emeta
-                            else {}
-                        ),
-                    }
-                )
-            rd_fields["rd_curve"] = sorted(curve, key=lambda p: p["bpp"])
-        except Exception as e:  # never sink the headline on an extra point
-            rd_fields["rd_curve_note"] = f"partial: {type(e).__name__}: {e}"[:300]
+            ecfg = dataclasses.replace(cfg, **ecfg_kw) if ecfg_kw else cfg
+            emodel = MCM(ecfg) if ecfg_kw else model
+            # missing meta (old files) -> assume the headline distribution
+            if bool(emeta.get("normalize", not untrained)):
+                eimgs_model, eto_pixels = imgs_model, to_pixels
+            else:
+                # clip like the normalize branch (and rd_eval.py) so the
+                # curve point matches what test_model/rd_eval report
+                eimgs_model = imgs
+                eto_pixels = lambda x: jnp.clip(x, 0.0, 1.0)
+            evars = {"params": load_params_npz(extra)}
+            ecodec = MCMCodec(emodel, evars, num_threads=16)
+            ecodec.update(force=True)
+            streams_e, ids_restore_e = ecodec.compress(eimgs_model, scores)
+            payloads_e, ids_e = code_side_info(
+                ids_restore_e, ecfg.num_keep_patches, ecfg.canonical_keep_order
+            )
+            x_hat_e = ecodec.decompress(streams_e, ids_e)
+            m_e = compute_metrics(imgs, eto_pixels(x_hat_e))
+            bits_e = [
+                s.num_bits() + len(p) * 8
+                for s, p in zip(streams_e, payloads_e)
+            ]
+            curve.append(
+                {
+                    "ckpt": extra.name,
+                    "bpp": round(float(np.mean(bits_e)) / (224 * 224), 4),
+                    "psnr": round(m_e["psnr"], 3),
+                    "ms_ssim": round(m_e["ms-ssim"], 5),
+                    **(
+                        {"lmbda": float(emeta["lmbda"])}
+                        if "lmbda" in emeta
+                        else {}
+                    ),
+                }
+            )
+        return {"rd_curve": sorted(curve, key=lambda p: p["bpp"])}
 
-    print(
-        json.dumps(
-            {
-                "metric": "kodak24_compress_decompress",
-                "value": round(img_per_s, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_s / TARGET_IMG_PER_S, 4),
-                "bpp": round(bpp, 4),
-                "psnr": round(metrics["psnr"], 3),
-                "ms_ssim": round(metrics["ms-ssim"], 5),
-                "backend": jax.default_backend(),
-                "setup_s": round(setup_s, 1),
-                # occupancy sums across overlapped round-trip threads, NOT
-                # critical-path time (phases of concurrent reps interleave)
-                "enc_occupancy_s_per_rep": round(
-                    phase_acc["enc"] / max(reps * windows, 1), 3
-                ),
-                "dec_occupancy_s_per_rep": round(
-                    phase_acc["dec"] / max(reps * windows, 1), 3
-                ),
-                **caption_fields,
-                **refine_fields,
-                **full_fields,
-                **train_fields,
-                **tiled_fields,
-                **rd_fields,
-                "untrained": untrained,
-                "note": (
-                    "untrained weights; bpp/psnr are pipeline sanity values only"
-                    if untrained
-                    else f"trained checkpoint {ckpt.name}; metrics in raw pixel space"
-                ),
-            }
-        )
+    state = {}
+    # (name, cold-cache cost estimate s, env gate, fn) — cheapest-first so a
+    # tight budget records the highest-value fields before running out
+    stages = (
+        ("train", 180, "BENCH_TRAIN", stage_train),
+        ("rd_curve", 240, "BENCH_RD_CURVE", stage_rd_curve),
+        ("caption", 240, "BENCH_CAPTION", stage_caption),
+        ("tiled", 240, "BENCH_TILED", stage_tiled),
+        ("refine", 420, "BENCH_REFINE", stage_refine),
+        ("full_dims", 600, "BENCH_FULL_DIMS", stage_full_dims),
     )
+    for name, est, env_gate, fn in stages:
+        if os.environ.get(env_gate, "1") == "0":
+            continue
+        if not stage_fits(est):
+            R[f"{name}_note"] = "skipped: soft deadline"
+            emit()
+            continue
+        try:
+            R.update(fn())
+        except Exception as e:  # a failed stage never sinks earlier fields
+            R[f"{name}_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+        emit()
+    return 0
 
 
 def find_result_line(stdout):
@@ -594,73 +622,100 @@ def find_result_line(stdout):
 
 
 def supervise() -> int:
-    """Run the measurement in fresh subprocesses with bounded retries.
+    """Run the measurement in fresh subprocesses with bounded retries,
+    TEEING the child's stdout line-by-line as lines arrive.
 
     A failed backend init is cached in-process by jax, and the axon TPU
-    tunnel is intermittently unavailable at driver time (BENCH_r02.json was
-    rc=1 with a raw traceback — VERDICT.md round 2, Missing #1). So each
-    attempt is a fresh subprocess; on final failure the supervisor still
-    prints ONE machine-readable JSON line for the scoreboard.
+    tunnel is intermittently unavailable at driver time (BENCH_r02 was rc=1);
+    BENCH_r03 died because the supervisor buffered the child's stdout in a
+    PIPE until exit while the driver killed both at ~30 min. Hence: fresh
+    subprocess per attempt, live tee (a kill at ANY moment leaves every
+    already-measured line on the supervisor's stdout), budgets sized to the
+    driver, and a final annotated re-print of the best line seen.
     """
     import subprocess
+    import threading
 
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
-    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
+    t_start = time.time()
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1700"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1200"))
     backoffs = [30.0, 90.0]
     last_err = "unknown"
-    salvaged = None  # headline from a child that crashed during extras
+    best = {"obj": None}  # last parseable scoreboard line from any child
+
+    def run_attempt(timeout_s: float, child_soft: float):
+        env = dict(
+            os.environ,
+            BENCH_CHILD="1",
+            BENCH_SOFT_DEADLINE=str(child_soft),
+        )
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        tail = []
+
+        def reader():
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                tail.append(line)
+                del tail[:-12]
+                obj = find_result_line(line)
+                if obj is not None:
+                    best["obj"] = obj
+                # live tee: measured lines must be driver-visible NOW
+                print(line, flush=True)
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        try:
+            rc = proc.wait(timeout=timeout_s)
+            th.join(timeout=10)
+            return rc, "\n".join(tail)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            th.join(timeout=10)
+            return None, "\n".join(tail)  # None = timed out
 
     for attempt in range(attempts):
-        env = dict(os.environ, BENCH_CHILD="1")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                stdout=subprocess.PIPE,
-                timeout=timeout_s,
-                text=True,
-            )
-        except subprocess.TimeoutExpired as e:
-            # salvage: the child prints a headline-only line before the
-            # optional stages, so a mid-extras overrun still has a number
-            out = e.stdout
-            if isinstance(out, bytes):
-                out = out.decode("utf-8", "replace")
-            obj = find_result_line(out)
-            if obj is not None:
-                obj["partial"] = True
-                obj["note"] = (
-                    f"{obj.get('note', '')} "
-                    f"[child timed out after {timeout_s:.0f}s during optional "
-                    "stages; headline salvaged]"
-                ).strip()
-                print(json.dumps(obj))
-                return 0
+        remaining = total_budget - (time.time() - t_start)
+        if attempt > 0 and remaining < 300:
+            last_err += "; no budget left for another attempt"
+            break
+        timeout_s = max(min(attempt_timeout, remaining - 30), 120)
+        # honor an explicit user deadline, but never let it exceed what fits
+        # inside this attempt's window (the r3 failure mode)
+        base_soft = float(os.environ.get("BENCH_SOFT_DEADLINE", "900"))
+        child_soft = max(min(base_soft, timeout_s - 180), 120)
+        rc, tail = run_attempt(timeout_s, child_soft)
+        if rc == 0 and best["obj"] is not None:
+            return 0  # complete run; its lines are already on stdout
+        if rc is None:
             last_err = f"attempt {attempt + 1} timed out after {timeout_s:.0f}s"
-            print(f"[bench] {last_err}", file=sys.stderr, flush=True)
-            continue
-        result = find_result_line(proc.stdout)
-        if proc.returncode == 0 and result is not None:
-            print(json.dumps(result))
-            return 0
-        if result is not None:
-            # the child measured a headline, then died in the optional
-            # stages (rc != 0). Keep it: retry for a complete run, but never
-            # discard an actual measurement in favor of the value-0.0 line.
-            salvaged = result
-        tail = "\n".join(proc.stdout.splitlines()[-8:])
-        last_err = f"attempt {attempt + 1} rc={proc.returncode}; tail: {tail[-500:]}"
+        else:
+            last_err = f"attempt {attempt + 1} rc={rc}; tail: {tail[-500:]}"
         print(f"[bench] {last_err}", file=sys.stderr, flush=True)
+        if best["obj"] is not None:
+            # the child measured a headline then died/overran in the
+            # optional stages: keep the record, do not retry from scratch
+            break
         if attempt < attempts - 1:
             time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
-    if salvaged is not None:
-        salvaged["partial"] = True
-        salvaged["note"] = (
-            f"{salvaged.get('note', '')} "
-            "[child crashed during optional stages; headline salvaged]"
+
+    if best["obj"] is not None:
+        obj = dict(best["obj"])
+        obj["partial"] = True
+        obj["note"] = (
+            f"{obj.get('note', '')} "
+            f"[child ended early ({last_err.split(';')[0]}); "
+            "cumulative fields up to that point]"
         ).strip()
-        print(json.dumps(salvaged))
+        print(json.dumps(obj), flush=True)
         return 0
     print(
         json.dumps(
@@ -670,9 +725,10 @@ def supervise() -> int:
                 "unit": "images/sec/chip",
                 "vs_baseline": 0.0,
                 "error": last_err,
-                "note": f"all {attempts} bench attempts failed (backend/tunnel?)",
+                "note": "all bench attempts failed (backend/tunnel?)",
             }
-        )
+        ),
+        flush=True,
     )
     return 1
 
