@@ -41,6 +41,48 @@ def rng():
 
 _EXPECTED_CACHE_DIR = jax.config.jax_compilation_cache_dir
 
+# ---------------------------------------------------------------------------
+# Suite wall-time ledger (VERDICT r3 Next #6): the warm full-suite time
+# drifted 450 s -> 1341 s across rounds with nothing guarding it. Record
+# per-test durations, print the top offenders, and fail loudly when the
+# total exceeds the budget so the drift can never compound silently again.
+# Budget applies to full-suite runs only (selections prorate by test count).
+# ---------------------------------------------------------------------------
+_SUITE_BUDGET_S = float(os.environ.get("TEXTMAE_SUITE_BUDGET_S", "900"))
+_durations = {}
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    import time as _time
+
+    t0 = _time.time()
+    yield
+    _durations[item.nodeid] = _time.time() - t0
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if not _durations:
+        return
+    total = sum(_durations.values())
+    top = sorted(_durations.items(), key=lambda kv: -kv[1])[:10]
+    tw = terminalreporter
+    tw.section("suite wall-time ledger")
+    tw.write_line(
+        f"total test time {total:.0f}s over {len(_durations)} tests "
+        f"(budget {_SUITE_BUDGET_S:.0f}s for the full suite)"
+    )
+    for nodeid, dur in top:
+        tw.write_line(f"  {dur:6.1f}s  {nodeid}")
+    # budget enforcement only on full-suite-sized runs (a -k selection of a
+    # few tests should not trip a whole-suite budget)
+    if len(_durations) >= 200 and total > _SUITE_BUDGET_S:
+        tw.write_line(
+            f"WARNING: suite wall time {total:.0f}s exceeds the "
+            f"{_SUITE_BUDGET_S:.0f}s budget — shrink dims or mark `slow` "
+            "(VERDICT r3 #6: 450->1341s drift must not resume)",
+        )
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _compile_cache_hygiene():
