@@ -46,6 +46,11 @@ def main():
     p.add_argument("--flip", action="store_true",
                    help="random horizontal-flip augmentation (mirror-"
                         "equivariant scores, data/crops.py)")
+    p.add_argument("--rrc", type=str, default=None, metavar="LO,HI",
+                   help="MAE-style RandomResizedCrop: pool crops sample a "
+                        "uniform area fraction in [LO,HI] of the source and "
+                        "resize to 224 (e.g. 0.2,1.0 — the published MAE "
+                        "pretrain augmentation); default: fixed 224 crops")
     p.add_argument("--debug-tiny", action="store_true")
     args = p.parse_args()
 
@@ -77,7 +82,12 @@ def main():
     holdout = {n.strip() for n in args.holdout.split(",") if n.strip()}
     train_files = [f for f in sorted(kodak.glob("*.png")) if f.stem not in holdout]
     print(f"pretraining on {len(train_files)} images from {kodak}", flush=True)
-    pool = CropPool(train_files, args.pool, 224, seed=args.seed, verbose=True)
+    scale_range = None
+    if args.rrc:
+        lo, hi = (float(v) for v in args.rrc.split(","))
+        scale_range = (lo, hi)
+    pool = CropPool(train_files, args.pool, 224, seed=args.seed, verbose=True,
+                    scale_range=scale_range)
 
     if args.debug_tiny:
         model = mae_models.MaskedAutoencoderViT(

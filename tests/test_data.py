@@ -272,6 +272,36 @@ def test_crop_pool_device_gather_matches_host():
     np.testing.assert_array_equal(np.asarray(bs_d), bs_h)
 
 
+def test_crop_pool_random_resized_crops():
+    """scale_range (MAE RandomResizedCrop): deterministic per seed, scores
+    computed on the RESIZED crop via the canonical PIL-gray path (the grid
+    the model actually sees), and crops genuinely differ from the fixed-size
+    pool drawn with the same seed (scale jitter engaged)."""
+    from PIL import Image
+
+    from textmae_tpu.data.crops import CropPool
+    from textmae_tpu.data.score_maps import total_score_for_image
+    from textmae_tpu.data.paths import find_kodak
+
+    files = sorted(find_kodak().glob("*.png"))[:2]
+    a = CropPool(files, pool_size=4, img_size=224, seed=5,
+                 scale_range=(0.2, 1.0))
+    b = CropPool(files, pool_size=4, img_size=224, seed=5,
+                 scale_range=(0.2, 1.0))
+    np.testing.assert_array_equal(a.crops, b.crops)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    assert a.crops.shape == (4, 224, 224, 3)
+    fixed = CropPool(files, pool_size=4, img_size=224, seed=5)
+    assert not np.array_equal(a.crops, fixed.crops)
+    # score contract: each stored score is total_score_for_image of the
+    # stored (resized) crop's canonical PIL gray
+    for i in range(4):
+        g = np.asarray(Image.fromarray(a.crops[i]).convert("L"), np.uint8)
+        np.testing.assert_allclose(
+            a.scores[i], total_score_for_image(g), atol=1e-6
+        )
+
+
 def test_crop_pool_rejects_small_sources(tmp_path):
     from PIL import Image
 

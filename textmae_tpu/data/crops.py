@@ -46,7 +46,13 @@ class CropPool:
         img_size: int = 224,
         seed: int = 0,
         verbose: bool = False,
+        scale_range: Optional[Tuple[float, float]] = None,
     ):
+        """scale_range: MAE-style RandomResizedCrop — each pool entry crops a
+        square whose AREA is a uniform fraction of this range of the source
+        area (clamped to fit), then bicubic-resizes to img_size. Scores are
+        computed on the RESIZED crop (what the model sees), via the canonical
+        PIL-gray path. None = fixed-size crops (original behavior)."""
         if not files:
             raise ValueError("CropPool needs at least one source image")
         rng = np.random.default_rng(seed)
@@ -63,12 +69,31 @@ class CropPool:
         for i in range(pool_size):
             j = rng.integers(0, len(arrs))
             a, g = arrs[j], grays[j]
-            y = rng.integers(0, a.shape[0] - img_size + 1)
-            x = rng.integers(0, a.shape[1] - img_size + 1)
-            self.crops[i] = a[y : y + img_size, x : x + img_size]
-            self.scores[i] = total_score_for_image(
-                g[y : y + img_size, x : x + img_size]
-            )
+            if scale_range is not None:
+                from PIL import Image
+
+                lo, hi = scale_range
+                area = a.shape[0] * a.shape[1] * rng.uniform(lo, hi)
+                side = int(round(np.sqrt(area)))
+                side = max(min(side, a.shape[0], a.shape[1]), 32)
+                y = rng.integers(0, a.shape[0] - side + 1)
+                x = rng.integers(0, a.shape[1] - side + 1)
+                crop = Image.fromarray(a[y : y + side, x : x + side]).resize(
+                    (img_size, img_size), Image.BICUBIC
+                )
+                self.crops[i] = np.asarray(crop, np.uint8)
+                # score the resized crop via the canonical PIL-gray path
+                # (load_gray rationale: gray MUST come from what is trained on)
+                self.scores[i] = total_score_for_image(
+                    np.asarray(crop.convert("L"), np.uint8)
+                )
+            else:
+                y = rng.integers(0, a.shape[0] - img_size + 1)
+                x = rng.integers(0, a.shape[1] - img_size + 1)
+                self.crops[i] = a[y : y + img_size, x : x + img_size]
+                self.scores[i] = total_score_for_image(
+                    g[y : y + img_size, x : x + img_size]
+                )
             if verbose and i % 512 == 0:
                 print(f"pool {i}/{pool_size}", flush=True)
 
