@@ -160,6 +160,93 @@ def test_export_fallback_records_reason(setup, tmp_path):
     assert "synthetic symbolic lowering failure" in info["symbolic_fallback_reason"]
 
 
+def test_stream_programs_roundtrip_matches_host_codec(setup):
+    """The monolithic single-jit stream programs (codec.stream_programs)
+    produce byte-identical bitstreams to the host C++/Python coders and
+    reconstruct the eval forward — the contract that makes the exported
+    artifact interoperable with a full framework install."""
+    from textmae_tpu.coding.device_rans import finalize_streams, init_states
+    from textmae_tpu.eval.codec import MCMCodec
+
+    model, variables, imgs, scores = setup
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    host_streams, host_ids = codec.compress(imgs, scores)
+
+    enc_fn, _, dec_fn, _, info = codec.stream_programs(batch=2)
+    out = jax.device_get(jax.jit(enc_fn)(imgs, scores))
+    assert int(out["overflow"]) == 0
+    y_strings = finalize_streams(
+        out["y_words"], out["y_count"], out["y_hi"], out["y_lo"]
+    )
+    z_strings = finalize_streams(
+        out["z_words"], out["z_count"], out["z_hi"], out["z_lo"]
+    )
+    for i, s in enumerate(host_streams):
+        assert y_strings[i] == s.y_string, f"y stream {i} differs"
+        assert z_strings[i] == s.z_string, f"z stream {i} differs"
+    np.testing.assert_array_equal(out["ids_restore"], host_ids)
+
+    def states(bss, width):
+        w, c, hi, lo, pos = init_states(bss)
+        p = np.zeros((w.shape[0], width), np.uint32)
+        p[:, : w.shape[1]] = w
+        return p, c, hi, lo, pos
+
+    # decode the HOST-coded streams through the monolithic program
+    yw, yc, yhi, ylo, ypos = states(
+        [s.y_string for s in host_streams], info["y_words_width"]
+    )
+    zw, zc, zhi, zlo, zpos = states(
+        [s.z_string for s in host_streams], info["z_words_width"]
+    )
+    x_hat = jax.jit(dec_fn)(
+        yw, yc, yhi, ylo, ypos, zw, zc, zhi, zlo, zpos,
+        np.asarray(host_ids, np.int32),
+    )
+    x_host = codec.decompress(host_streams, host_ids)
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(x_host), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_exported_codec_full_roundtrip(setup, tmp_path):
+    """kind='stream' artifact: ExportedCodec compresses and decompresses
+    with NO model objects — and its streams cross-decode with MCMCodec."""
+    from textmae_tpu.eval.codec import MCMCodec
+    from textmae_tpu.eval.export import ExportedCodec, export_mcm
+
+    model, variables, imgs, scores = setup
+    path = export_mcm(
+        model, variables, tmp_path / "codec.mcmx", kinds=("stream",),
+        example_batch=2,
+    )
+    exc = ExportedCodec(path)
+    assert exc.num_keep_patches == TINY.num_keep_patches
+    streams, ids = exc.compress(imgs, scores)
+    x_hat = exc.decompress(streams, ids)
+
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    host_streams, host_ids = codec.compress(imgs, scores)
+    for s_e, s_h in zip(streams, host_streams):
+        assert s_e.y_string == s_h.y_string
+        assert s_e.z_string == s_h.z_string
+    # cross-decode: framework streams through the artifact
+    x_cross = exc.decompress(host_streams, host_ids)
+    fwd = model.apply(
+        variables, imgs, scores, training=False, compute_loss=False
+    )["x_hat"]
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(fwd), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_cross), np.asarray(fwd), rtol=1e-4, atol=1e-4
+    )
+    with pytest.raises(ValueError, match="batch"):
+        exc.compress(imgs[:1], scores[:1])
+
+
 def test_export_rejects_newer_format(setup, tmp_path):
     import json
     import zipfile

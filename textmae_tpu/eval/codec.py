@@ -820,3 +820,139 @@ class MCMCodec:
 
         y_hat = jnp.concatenate(y_slices, axis=-1)
         return self._finish(v, y_hat, jnp.asarray(ids_restore))
+
+    # ------------------------------------------------------------------
+    def stream_programs(self, batch: int):
+        """Monolithic single-jit bitstream codec programs, for AOT export.
+
+        The interactive codec splits compress/decompress into many small
+        jitted programs so host coding and device math overlap (throughput).
+        For DEPLOYMENT the opposite shape wins: ONE traced program per
+        direction, rANS state machine included (coding/device_rans), with
+        weights AND quantized CDF tables baked in as constants — so a
+        ``jax.export`` artifact of these two functions is a complete codec
+        that needs no model code, no flax, and no table build at the
+        destination (eval/export.py kind="stream"; ExportedCodec wraps the
+        thin host glue: byte assembly + the subset side-info coder).
+
+        Returns (encode_fn, encode_args, decode_fn, decode_args, info):
+        plain traceable functions (callers jit/export them), example args at
+        ``batch``, and the static wire geometry for the manifest. Pure-XLA
+        lax.scan coding paths only (no Pallas) — Mosaic custom calls would
+        pin exported artifacts to one TPU generation.
+
+        Batch is FIXED per program: the stacked tail/slice scans mix
+        batch-leading and slice-leading carries, which rejects a symbolic
+        batch dim (see export.py manifest fallback reasons).
+        """
+        self._require_tables()
+        cfg = self.cfg
+        from textmae_tpu.coding.device_rans import decode_symbols, encode_symbols
+
+        (gtc, gtl, gto), (ebc, ebl, ebo) = self._device_tables()
+        grid, g = cfg.keep_grid, cfg.group_ch
+        hz, wz = self._z_shape()
+        cz = cfg.hyperprior_depth
+        t_y = cfg.num_slices * grid * grid * g
+        t_z = hz * wz * cz
+        y_cap = t_y // 2 + 64
+        z_cap = t_z // 2 + 64
+        head = cfg.max_support
+        tail = cfg.num_slices - head
+        v = self.variables
+        z_idx_row = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)
+
+        def encode_stream(imgs, scores):
+            front = self._front(v, imgs, scores)
+            lm, ls = self._hyper(v, front["z_sym"])
+            syms, idxs, overflow = self._run_slice_chain(front["y"], lm, ls)
+            n = imgs.shape[0]
+            y_sym = jnp.transpose(syms, (1, 0, 2, 3, 4)).reshape(n, t_y)
+            y_idx = jnp.transpose(idxs, (1, 0, 2, 3, 4)).reshape(n, t_y)
+            yw, yc, yhi, ylo = encode_symbols(
+                y_sym.astype(jnp.int32), y_idx.astype(jnp.int32),
+                gtc, gtl, gto, max_words=y_cap,
+            )
+            z_idx = jnp.broadcast_to(z_idx_row, (n, t_z))
+            zw, zc, zhi, zlo = encode_symbols(
+                front["z_sym"].reshape(n, t_z).astype(jnp.int32), z_idx,
+                ebc, ebl, ebo, max_words=z_cap,
+            )
+            return {
+                "y_words": yw, "y_count": yc, "y_hi": yhi, "y_lo": ylo,
+                "z_words": zw, "z_count": zc, "z_hi": zhi, "z_lo": zlo,
+                "ids_restore": front["ids_restore"].astype(jnp.int32),
+                "overflow": overflow,
+            }
+
+        def decode_stream(
+            y_words, y_count, y_hi, y_lo, y_pos,
+            z_words, z_count, z_hi, z_lo, z_pos,
+            ids_restore,
+        ):
+            n = y_words.shape[0]
+            z_idx = jnp.broadcast_to(z_idx_row, (n, t_z))
+            z_out, _, _, _ = decode_symbols(
+                z_words, z_count, z_hi, z_lo, z_pos, z_idx, ebc, ebl, ebo
+            )
+            z_sym = z_out.reshape(n, hz, wz, cz)
+            lm, ls = self._hyper(v, z_sym)
+            buf = jnp.zeros((n, grid, grid, g * head), jnp.float32)
+            state = [y_hi, y_lo, y_pos]
+
+            def dec(index):
+                out, h2, l2, p2 = decode_symbols(
+                    y_words, y_count, state[0], state[1], state[2],
+                    index.reshape(n, -1).astype(jnp.int32), gtc, gtl, gto,
+                )
+                state[0], state[1], state[2] = h2, l2, p2
+                return out.astype(jnp.int16).reshape(n, grid, grid, g)
+
+            y_slices = []
+            mu, index, ms = self._slice_params(v, buf, lm, ls, jnp.int32(0))
+            sym = dec(index)
+            for si in range(1, head):
+                buf, y_prev, mu, index, ms = self._slice_step(
+                    v, buf, ms, mu, sym, lm, ls,
+                    jnp.int32(si - 1), jnp.int32(si),
+                )
+                y_slices.append(y_prev)
+                sym = dec(index)
+            buf, y_last = self._slice_update(v, buf, ms, mu, sym, jnp.int32(head - 1))
+            y_slices.append(y_last)
+            mu_t, index_t, ms_t = self._tail_params(v, buf, lm, ls)
+            idx_flat = jnp.transpose(index_t, (1, 0, 2, 3, 4)).reshape(n, -1)
+            out, _, _, _ = decode_symbols(
+                y_words, y_count, state[0], state[1], state[2],
+                idx_flat.astype(jnp.int32), gtc, gtl, gto,
+            )
+            sym_t = jnp.transpose(
+                out.astype(jnp.int16).reshape(n, tail, grid, grid, g),
+                (1, 0, 2, 3, 4),
+            )
+            y_tail = self._tail_update(v, ms_t, mu_t, sym_t)
+            y_slices.extend(y_tail[t] for t in range(tail))
+            y_hat = jnp.concatenate(y_slices, axis=-1)
+            # ids arrive int32 (int64 would downcast anyway without jax x64)
+            return self._finish(v, y_hat, ids_restore)
+
+        b = batch
+        enc_args = (
+            jnp.zeros((b, 3, cfg.img_size, cfg.img_size), jnp.float32),
+            jnp.zeros((b, cfg.num_patches), jnp.float32),
+        )
+        u32, i32 = jnp.uint32, jnp.int32
+        dec_args = (
+            jnp.zeros((b, y_cap + 2), u32), jnp.zeros((b,), i32),
+            jnp.zeros((b,), u32), jnp.zeros((b,), u32), jnp.zeros((b,), i32),
+            jnp.zeros((b, z_cap + 2), u32), jnp.zeros((b,), i32),
+            jnp.zeros((b,), u32), jnp.zeros((b,), u32), jnp.zeros((b,), i32),
+            jnp.zeros((b, cfg.num_patches), i32),
+        )
+        info = {
+            "y_words_width": y_cap + 2,
+            "z_words_width": z_cap + 2,
+            "z_shape": [hz, wz],
+            "batch": b,
+        }
+        return encode_stream, enc_args, decode_stream, dec_args, info

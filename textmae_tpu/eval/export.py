@@ -191,6 +191,39 @@ def export_mcm(
                 **({"symbolic_fallback_reason": reason} if reason else {}),
             }
 
+    if "stream" in kinds:
+        # Complete bitstream codec as two monolithic programs (weights AND
+        # quantized CDF tables baked in; see MCMCodec.stream_programs). The
+        # model is rebuilt Pallas-free: Mosaic custom calls would pin the
+        # artifact to one TPU generation, and export must replay anywhere.
+        import dataclasses as _dc
+
+        from textmae_tpu.eval.codec import MCMCodec
+        from textmae_tpu.models.mcm import MCM as _MCM
+
+        cfg_x = _dc.replace(cfg, use_pallas=False)
+        codec = MCMCodec(
+            _MCM(cfg_x), variables, device_chain=False, device_encode=False
+        )
+        codec.update(force=True)
+        enc_fn, enc_args, dec_fn, dec_args, info = codec.stream_programs(
+            batch=example_batch
+        )
+        for name, fn, args in (
+            ("encode_stream", enc_fn, enc_args),
+            ("decode_stream", dec_fn, dec_args),
+        ):
+            # fixed batch by design (stacked slice scans mix batch- and
+            # slice-leading carries, rejecting a symbolic batch dim)
+            blob = _export_one(fn, args, False)
+            entries[f"{name}.bin"] = blob
+            manifest["programs"][name] = {
+                "file": f"{name}.bin",
+                "symbolic_batch": False,
+                "in": [list(np.shape(a)) for a in args],
+            }
+        manifest["stream"] = info
+
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_MANIFEST, json.dumps(manifest, indent=1, sort_keys=True))
@@ -232,3 +265,88 @@ class ExportedMCM:
                 calls[name] = jax.jit(programs[name].call)
             return calls[name]
         raise AttributeError(name)
+
+
+class ExportedCodec:
+    """Full bitstream codec from a kind="stream" .mcmx artifact.
+
+    The exported encode_stream/decode_stream programs carry weights and
+    entropy tables as constants; the only host glue is byte assembly
+    (coding/device_rans.finalize_streams + init_states) and the subset
+    side-info coder — no model code, no flax, no table build. Streams are
+    byte-identical to MCMCodec's host/ device coders (same rANS contract),
+    so either side can talk to a full framework install.
+    """
+
+    def __init__(self, path):
+        self.ex = ExportedMCM(path)
+        m = self.ex.manifest
+        if "stream" not in m:
+            raise ValueError(
+                "artifact has no stream programs (export with kinds=('stream',))"
+            )
+        self.info = m["stream"]
+        self.batch = int(self.info["batch"])
+        self.num_keep_patches = int(m["num_keep_patches"])
+        self.canonical_keep_order = bool(m["canonical_keep_order"])
+
+    def compress(self, imgs, scores):
+        """(N,C,H,W), (N,L) -> (streams, ids_restore). N must equal the
+        exported batch (pad on the serving side)."""
+        import jax as _jax
+
+        from textmae_tpu.coding.device_rans import finalize_streams
+        from textmae_tpu.eval.codec import CompressedImage
+
+        if np.shape(imgs)[0] != self.batch:
+            raise ValueError(
+                f"exported program batch is {self.batch}, got {np.shape(imgs)[0]}"
+            )
+        out = _jax.device_get(self.ex.encode_stream(imgs, scores))
+        if int(out["overflow"]) > 0:
+            raise OverflowError(
+                "quantized symbols exceeded int16 range — the model has "
+                "numerically diverged; refusing to emit a corrupt stream"
+            )
+        y_strings = finalize_streams(
+            out["y_words"], out["y_count"], out["y_hi"], out["y_lo"]
+        )
+        z_strings = finalize_streams(
+            out["z_words"], out["z_count"], out["z_hi"], out["z_lo"]
+        )
+        z_shape = tuple(self.info["z_shape"])
+        streams = [
+            CompressedImage(y_string=y, z_string=z, z_shape=z_shape)
+            for y, z in zip(y_strings, z_strings)
+        ]
+        return streams, out["ids_restore"].astype(np.int64)
+
+    def _states(self, byte_streams, width):
+        from textmae_tpu.coding.device_rans import init_states
+
+        words, count, hi, lo, pos = init_states(byte_streams)
+        if words.shape[1] > width:
+            raise ValueError(
+                f"stream needs {words.shape[1]} words but the exported "
+                f"program accepts {width} — re-export with a larger capacity"
+            )
+        padded = np.zeros((words.shape[0], width), np.uint32)
+        padded[:, : words.shape[1]] = words
+        return padded, count, hi, lo, pos
+
+    def decompress(self, streams, ids_restore):
+        """Per-image bitstreams -> (N,C,H,W) reconstruction."""
+        if len(streams) != self.batch:
+            raise ValueError(
+                f"exported program batch is {self.batch}, got {len(streams)}"
+            )
+        yw, yc, yhi, ylo, ypos = self._states(
+            [s.y_string for s in streams], int(self.info["y_words_width"])
+        )
+        zw, zc, zhi, zlo, zpos = self._states(
+            [s.z_string for s in streams], int(self.info["z_words_width"])
+        )
+        return self.ex.decode_stream(
+            yw, yc, yhi, ylo, ypos, zw, zc, zhi, zlo, zpos,
+            np.asarray(ids_restore, np.int32),
+        )
