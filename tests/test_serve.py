@@ -499,3 +499,42 @@ def test_service_serves_moe_checkpoint():
     out_png = svc.decompress(blob)
     with Image.open(io.BytesIO(out_png)) as im:
         assert im.size == (96, 96)
+
+
+def test_service_serves_exported_artifact(setup, tmp_path):
+    """Deployment loop closed (VERDICT r3 #9): the batched service runs
+    entirely from a kind='stream' .mcmx artifact — no model objects — and
+    its containers round-trip and interoperate with a checkpoint service."""
+    from textmae_tpu.cli.serve import CodecService
+    from textmae_tpu.eval.export import ExportedCodec, export_mcm
+
+    model, variables, _, _ = setup
+    path = export_mcm(
+        model, variables, tmp_path / "svc.mcmx", kinds=("stream",),
+        example_batch=2,
+    )
+    exc = ExportedCodec(path)
+    svc = CodecService(
+        None, None, max_batch=2, batch_window_ms=5.0,
+        exported=exc, config=TINY,
+    )
+    r = np.random.default_rng(21)
+    png = _png_bytes(r.random((96, 96, 3)).astype(np.float32))
+    blob = svc.compress(png)
+    assert blob[:4] == container.MAGIC
+    out_png = svc.decompress(blob)
+    with Image.open(io.BytesIO(out_png)) as im:
+        assert im.size == (96, 96)
+
+    # interop: a checkpoint-based service decodes the artifact's container
+    ckpt_svc = CodecService(model, variables, max_batch=2, batch_window_ms=5.0)
+    out2 = ckpt_svc.decompress(blob)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(io.BytesIO(out_png))),
+        np.asarray(Image.open(io.BytesIO(out2))),
+    )
+
+    # fixed-shape contract is enforced, not silently mis-batched
+    with pytest.raises(ValueError, match="batch"):
+        CodecService(None, None, max_batch=4, batch_window_ms=5.0,
+                     exported=exc, config=TINY)

@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("-p", "--path", type=str, default=None, help="checkpoint to serve")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve a kind='stream' .mcmx export artifact instead "
+                        "of a checkpoint: the two fixed-shape programs carry "
+                        "weights AND entropy tables, so the serving fleet "
+                        "needs no model code (eval/export.py). Batch size "
+                        "comes from the artifact; --pipeline/--replicas/"
+                        "--device-codec do not apply")
     p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--num-keep-patches", type=int, default=None,
                    help="kept patches (default: the checkpoint's __meta__ "
@@ -115,13 +122,36 @@ class CodecService:
         refiner=None,
         pipeline: bool = False,
         replicas: int = 1,
+        exported=None,
+        config=None,
     ):
+        """exported: an eval.export.ExportedCodec — serve a kind="stream"
+        .mcmx artifact instead of a checkpoint (no model code at the serving
+        fleet; weights + entropy tables live inside the artifact). Requires
+        `config` (an MCMConfig matching the artifact manifest) and implies
+        replicas=1 / no pipeline stages; max_batch must equal the artifact's
+        exported batch (its programs are fixed-shape)."""
         import jax
 
         from textmae_tpu.eval import MCMCodec
 
+        if exported is not None:
+            if config is None:
+                raise ValueError("exported serving needs the manifest config")
+            if replicas != 1:
+                raise ValueError("exported artifacts serve one replica")
+            if captioner is not None or refiner is not None or pipeline:
+                raise ValueError(
+                    "pipeline stages need live models; serve them from a "
+                    "checkpoint"
+                )
+            if max_batch != exported.batch:
+                raise ValueError(
+                    f"artifact programs are fixed at batch {exported.batch}; "
+                    f"pass --max-batch {exported.batch}"
+                )
         self.model = model
-        self.cfg = model.config
+        self.cfg = config if exported is not None else model.config
         self.normalize = normalize
         # Multi-chip serving is codec REPLICATION, not batch sharding: one
         # full codec per local device, request batches dispatched to whichever
@@ -137,17 +167,20 @@ class CodecService:
                 f"replicas={replicas} but {len(devices)} local device(s)"
             )
         self.devices = devices[:replicas]
-        host_vars = jax.device_get(variables) if replicas > 1 else variables
-        self.codecs = []
-        for dev in self.devices:
-            with jax.default_device(dev):
-                c = MCMCodec(
-                    model, host_vars,
-                    device_chain=True if device_codec else None,
-                    device_encode=True if device_codec else None,
-                )
-                c.update(force=True)
-            self.codecs.append(c)
+        if exported is not None:
+            self.codecs = [exported]
+        else:
+            host_vars = jax.device_get(variables) if replicas > 1 else variables
+            self.codecs = []
+            for dev in self.devices:
+                with jax.default_device(dev):
+                    c = MCMCodec(
+                        model, host_vars,
+                        device_chain=True if device_codec else None,
+                        device_encode=True if device_codec else None,
+                    )
+                    c.update(force=True)
+                self.codecs.append(c)
         self.codec = self.codecs[0]  # warmup + pipeline stage-2 use replica 0
         # optional 3-stage pipeline endpoint: caption -> codec round trip ->
         # refine (the north-star workload, served). Either stage may be None
@@ -569,6 +602,40 @@ def main(argv=None):
     from textmae_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+
+    if args.artifact:
+        # deployment-loop serving: the .mcmx stream artifact IS the model —
+        # weights + entropy tables baked into two fixed-shape programs, no
+        # model code / checkpoint / table build at the serving fleet
+        from textmae_tpu.eval.export import ExportedCodec
+
+        exc = ExportedCodec(args.artifact)
+        m = exc.ex.manifest
+        cfg = MCMConfig(
+            img_size=int(m["img_size"]),
+            num_keep_patches=int(m["num_keep_patches"]),
+            canonical_keep_order=bool(m["canonical_keep_order"]),
+        )
+        if cfg.num_patches != int(m["num_patches"]):
+            raise SystemExit(
+                f"artifact num_patches {m['num_patches']} does not match a "
+                f"patch-16 grid at img_size {m['img_size']}"
+            )
+        service = CodecService(
+            None, None, max_batch=exc.batch,
+            batch_window_ms=args.batch_window_ms, normalize=args.normalize,
+            exported=exc, config=cfg,
+        )
+        server = ThreadingHTTPServer(
+            (args.host, args.port), make_handler(service)
+        )
+        print(
+            f"serving exported artifact {args.artifact} on "
+            f"http://{args.host}:{args.port} (max_batch={exc.batch})",
+            flush=True,
+        )
+        server.serve_forever()
+        return
     # a served checkpoint trained with --normalize / non-default keep count /
     # reference ordering must not silently serve garbage: self-configure
     # still-default flags from the npz provenance, exactly like test_model
