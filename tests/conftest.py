@@ -64,6 +64,12 @@ def pytest_runtest_protocol(item, nextitem):
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
     if not _durations:
         return
+    ledger_path = os.environ.get("TEXTMAE_SUITE_LEDGER_PATH")
+    if ledger_path:
+        import json as _json
+
+        with open(ledger_path, "w") as f:
+            _json.dump(_durations, f, indent=0, sort_keys=True)
     total = sum(_durations.values())
     top = sorted(_durations.items(), key=lambda kv: -kv[1])[:10]
     tw = terminalreporter

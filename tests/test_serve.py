@@ -398,6 +398,7 @@ def test_service_pipeline_endpoint(setup):
         server.shutdown()
 
 
+@pytest.mark.slow  # ~60s: degrade-path matrix; the happy-path pipeline_endpoint test stays default
 def test_service_pipeline_disabled_and_degraded(setup, service):
     """Without stage models the endpoint is rejected up front; with only a
     refiner the JSON records the degraded stage list (no caption)."""
@@ -430,6 +431,7 @@ def test_service_pipeline_disabled_and_degraded(setup, service):
     assert out2["caption"] is None and out2["bpp"] > 0
 
 
+@pytest.mark.slow  # ~40s: multi-replica byte identity; single-replica serving covered by default tests
 def test_service_replicas_byte_identical_and_balanced(setup):
     """Multi-chip serving = codec replication (eval/codec.py docstring): one
     full codec per device, batches dispatched to free replicas. Containers
@@ -501,6 +503,7 @@ def test_service_serves_moe_checkpoint():
         assert im.size == (96, 96)
 
 
+@pytest.mark.slow  # ~50s: artifact e2e incl. export; test_exported_codec_full_roundtrip covers the codec path by default
 def test_service_serves_exported_artifact(setup, tmp_path):
     """Deployment loop closed (VERDICT r3 #9): the batched service runs
     entirely from a kind='stream' .mcmx artifact — no model objects — and

@@ -317,6 +317,8 @@ def test_npz_meta_provenance(tmp_path):
     assert load_npz_meta(plain) == {}
 
 
+@pytest.mark.slow  # ~40-45s each; the FSDP x TP e2e covers the CLI
+# mesh/resume plumbing in the default suite (VERDICT r3 #6 wall-time cap)
 def test_train_cli_e2e_tensor_parallel(tmp_path, capsys):
     """Full train CLI, one epoch, dp4 x tp2 over the virtual 8-device mesh.
 
@@ -358,6 +360,8 @@ def test_train_cli_e2e_tensor_parallel(tmp_path, capsys):
     assert "resumed from" in capsys.readouterr().out
 
 
+@pytest.mark.slow  # ~40-45s each; the FSDP x TP e2e covers the CLI
+# mesh/resume plumbing in the default suite (VERDICT r3 #6 wall-time cap)
 def test_train_cli_e2e_expert_parallel(tmp_path, capsys):
     """Full train CLI, one epoch, data2 x expert4 over the virtual 8-device
     mesh: MoE MCM encoder with stacked expert weights sharded over the
