@@ -323,6 +323,7 @@ def test_clip_importer_roundtrip():
     np.testing.assert_allclose(q, ref)
 
 
+@pytest.mark.slow  # ~31s: wrapper plumbing; refiner e2e test covers the native path by default
 def test_diffuser_wrapper_native():
     """The stage-3 wrapper surface (Diffusion/__init__.py:19-28) drives the
     native flax refiner: PIL in -> refined PIL out at the original size."""

@@ -210,6 +210,7 @@ def test_stream_programs_roundtrip_matches_host_codec(setup):
     )
 
 
+@pytest.mark.slow  # ~44s: serialize/replay e2e; stream byte-identity stays default
 def test_exported_codec_full_roundtrip(setup, tmp_path):
     """kind='stream' artifact: ExportedCodec compresses and decompresses
     with NO model objects — and its streams cross-decode with MCMCodec."""

@@ -94,6 +94,7 @@ def test_fsdp_actually_shards_memory(setup):
     assert found, "no moment leaf matched the sharded kernel shape"
 
 
+@pytest.mark.slow  # ~54s: the FSDP x TP composition test covers the base ZeRO-3 mechanics by default
 def test_fsdp_train_step_matches_replicated(setup):
     """One dp8 ZeRO-3 train step must equal the replicated step numerically."""
     model, params, imgs, scores = setup

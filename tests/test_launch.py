@@ -1,4 +1,5 @@
 """Launcher CLI tests: gang spawn env wiring + elastic restart semantics."""
+import pytest
 import subprocess
 import sys
 import textwrap
@@ -36,6 +37,7 @@ def test_gang_env_wiring(tmp_path):
     assert sorted(ln[2] for ln in lines) == ["0 3", "1 3", "2 3"]
 
 
+@pytest.mark.slow  # ~42s: multi-process restart drill; env wiring stays default
 def test_gang_restart_on_failure(tmp_path):
     """A worker crash tears down the gang and relaunches it (submitit requeue
     analog); the retry succeeds because the sentinel now exists."""

@@ -467,6 +467,7 @@ def test_mae_pretrain_cli_moe_flags():
     assert args.moe_top_k == 2 and args.moe_every == 2
 
 
+@pytest.mark.slow  # ~42s: 3-axis composition; EP/TP each stay covered by default tests
 def test_mcm_moe_tp_ep_composition(rng):
     """dp2 x tp2 x ep2 on the 8-device mesh: Megatron TP on the dense block
     matrices (incl. MoE blocks' attention) composed with expert sharding on
