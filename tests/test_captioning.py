@@ -104,8 +104,15 @@ def test_greedy_ids_match_hf(oracle):
     assert (ours[:, n:] == pad).all()
 
 
-def test_caption_shapes_and_determinism():
-    cap = Blip2Captioner(Blip2Config.tiny())
+@pytest.fixture(scope="module")
+def tiny_captioner():
+    # shared read-only instance (per-instance jits re-trace per instance);
+    # tests that mutate params (TP sharding) build their own
+    return Blip2Captioner(Blip2Config.tiny())
+
+
+def test_caption_shapes_and_determinism(tiny_captioner):
+    cap = tiny_captioner
     imgs = np.random.default_rng(1).uniform(size=(2, 56, 56, 3)).astype(np.float32)
     ids1 = cap.generate_ids(cap.preprocess(imgs))
     ids2 = cap.generate_ids(cap.preprocess(imgs))
@@ -129,9 +136,9 @@ def test_kv_cache_overflow_rejected():
         cap.generate_ids(pix)
 
 
-def test_eos_padding():
+def test_eos_padding(tiny_captioner):
     """Tokens after EOS must be pad (greedy loop's done-latch)."""
-    cap = Blip2Captioner(Blip2Config.tiny())
+    cap = tiny_captioner
     imgs = np.random.default_rng(2).uniform(size=(1, 56, 56, 3)).astype(np.float32)
     ids = cap.generate_ids(cap.preprocess(imgs))[0]
     eos, pad = cap.config.opt.eos_token_id, cap.config.opt.pad_token_id

@@ -36,13 +36,22 @@ def setup():
     return model, variables, imgs, scores
 
 
-def test_codec_roundtrip_matches_forward(setup):
+@pytest.fixture(scope="module")
+def host_codec(setup):
+    # shared updated host-path codec: the per-instance jit wrappers re-trace
+    # per instance, so read-only tests share ONE instance (wall-time cap)
+    model, variables, _, _ = setup
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    return codec
+
+
+def test_codec_roundtrip_matches_forward(setup, host_codec):
     """decompress(compress(x)) must equal the eval-mode forward x_hat: the
     forward pass quantizes exactly as the codec does (round around mu /
     medians), so any mismatch indicates stream desync or math divergence."""
     model, variables, imgs, scores = setup
-    codec = MCMCodec(model, variables)
-    codec.update(force=True)
+    codec = host_codec
     streams, ids_restore = codec.compress(imgs, scores)
     assert len(streams) == 2
     assert all(len(s.y_string) > 0 and len(s.z_string) > 0 for s in streams)
@@ -54,14 +63,13 @@ def test_codec_roundtrip_matches_forward(setup):
     )
 
 
-def test_device_chain_decompress_bit_identical(setup):
+def test_device_chain_decompress_bit_identical(setup, host_codec):
     """decompress(device_chain=True) — the in-jit rANS slice chain with zero
     host alternations (VERDICT r2 Next #6) — must produce the SAME image
     bits as the host-alternating path: identical per-slice programs fed
     bit-equal decoded symbols."""
     model, variables, imgs, scores = setup
-    codec = MCMCodec(model, variables)
-    codec.update(force=True)
+    codec = host_codec
     streams, ids_restore = codec.compress(imgs, scores)
     x_host = np.asarray(codec.decompress(streams, ids_restore, device_chain=False))
     x_dev = np.asarray(codec.decompress(streams, ids_restore, device_chain=True))
@@ -74,13 +82,12 @@ def test_device_chain_decompress_bit_identical(setup):
     )
 
 
-def test_device_encode_compress_bit_identical(setup):
+def test_device_encode_compress_bit_identical(setup, host_codec):
     """compress(device_encode=True) — the in-jit rANS encoder, no symbol wire
     — must emit byte-identical y/z streams and the same ids_restore as the
     host C++ path, and its output must decode on BOTH decoders."""
     model, variables, imgs, scores = setup
-    codec = MCMCodec(model, variables)
-    codec.update(force=True)
+    codec = host_codec
     streams_h, ids_h = codec.compress(imgs, scores)
     streams_d, ids_d = codec.compress(imgs, scores, device_encode=True)
     np.testing.assert_array_equal(ids_d, ids_h)
@@ -109,10 +116,9 @@ def test_codec_requires_update(setup):
         codec.compress(imgs, scores)
 
 
-def test_inference_metrics(setup):
+def test_inference_metrics(setup, host_codec):
     model, variables, imgs, scores = setup
-    codec = MCMCodec(model, variables)
-    codec.update()
+    codec = host_codec
     res = inference(codec, imgs, scores)
     for key in ("psnr", "ms-ssim", "bpp", "encoding_time", "decoding_time"):
         assert key in res, key
@@ -120,13 +126,12 @@ def test_inference_metrics(setup):
     assert np.isfinite(res["psnr"])
 
 
-def test_entropy_estimation_close_to_real_bpp(setup):
+def test_entropy_estimation_close_to_real_bpp(setup, host_codec):
     """Estimated bits (likelihoods) vs real coded stream bits (excluding the
     Huffman ids_restore side info, which the estimate doesn't model). rANS
     carries a fixed ~2x64-bit flush overhead per stream; allow it."""
     model, variables, imgs, scores = setup
-    codec = MCMCodec(model, variables)
-    codec.update()
+    codec = host_codec
     real = inference(codec, imgs, scores)
     est = inference_entropy_estimation(model, variables, imgs, scores)
     num_pixels = 96 * 96
@@ -139,11 +144,10 @@ def test_entropy_estimation_close_to_real_bpp(setup):
     assert real["bpp"] == pytest.approx(real["bpp_streams"] + real["bpp_side_info"])
 
 
-def test_compress_deterministic(setup):
+def test_compress_deterministic(setup, host_codec):
     """Same inputs -> byte-identical streams (reproducible archives)."""
     model, variables, imgs, scores = setup
-    codec = MCMCodec(model, variables)
-    codec.update()
+    codec = host_codec
     s1, ids1 = codec.compress(imgs, scores)
     s2, ids2 = codec.compress(imgs, scores)
     np.testing.assert_array_equal(ids1, ids2)

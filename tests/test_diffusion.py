@@ -151,8 +151,15 @@ def test_hash_tokenize_deterministic():
 # ---------------------------------------------------------------------------
 # full pipeline
 # ---------------------------------------------------------------------------
-def test_refiner_pipeline_end_to_end():
-    ref = SDXLRefiner(TINY)
+@pytest.fixture(scope="module")
+def tiny_refiner():
+    # shared instance: refine_batch programs are per-instance jits, so the
+    # three refiner tests compile the (2,16,16,3) program ONCE (wall-time cap)
+    return SDXLRefiner(TINY)
+
+
+def test_refiner_pipeline_end_to_end(tiny_refiner):
+    ref = tiny_refiner
     imgs = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
     out = ref.refine_batch(imgs, ["a cat", "a dog"])
     out = np.asarray(out)
@@ -163,7 +170,7 @@ def test_refiner_pipeline_end_to_end():
     assert np.abs(out - out2).max() > 1e-7
 
 
-def test_real_tokenizer_round_trip(tmp_path):
+def test_real_tokenizer_round_trip(tmp_path, tiny_refiner):
     """A real CLIP BPE tokenizer (tiny-vocab fixture) wired the way
     load_sdxl_weights does must drive refine_batch end to end and produce
     different conditioning ids than the hash fallback (VERDICT r2 Missing #3:
@@ -184,7 +191,8 @@ def test_real_tokenizer_round_trip(tmp_path):
     (tmp_path / "merges.txt").write_text("#version: 0.2\nk a</w>\n")
     tok = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
 
-    ref = SDXLRefiner(TINY)
+    ref = tiny_refiner
+    assert ref.tokenizer is None  # module default: hash fallback
     texts = ["kodak photo", "ka"]
     hash_ids, hash_eos = ref.tokenize(texts)
     ref.tokenizer = tok
@@ -205,9 +213,9 @@ def test_real_tokenizer_round_trip(tmp_path):
     assert np.abs(out - out_hash).max() > 1e-7
 
 
-def test_refiner_rejects_bad_dims():
-    ref = SDXLRefiner(TINY)
+def test_refiner_rejects_bad_dims(tiny_refiner):
     with pytest.raises(ValueError):
+        ref = tiny_refiner
         ref.refine_batch(np.zeros((1, 15, 15, 3), np.float32), ["a"])
 
 
