@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 
 steps=${TILED_STEPS:-100000}
 log=/tmp/tiled_train.log
-npz=checkpoints/mcm_crop_l1_100k.f16.npz
+npz=checkpoints/mcm_crop_l1_native.f16.npz
 for attempt in 1 2 3 4 5 6 7 8; do
   [ -f "$npz" ] && { echo "tiled ckpt done"; exit 0; }
   timeout 7200 python examples/rd_sweep.py --keep 144 --lmbda 1.0 \

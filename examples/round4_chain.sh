@@ -52,7 +52,7 @@ for keep in $KEEPS; do
 done
 
 echo "=== stage C: native-res-matched tiled checkpoint ===" >> "$log"
-npz=checkpoints/mcm_crop_l1_100k.f16.npz
+npz=checkpoints/mcm_crop_l1_native.f16.npz
 run_with_retries "$npz" python examples/rd_sweep.py --keep 144 --lmbda 1.0 \
   --steps "$TILED_STEPS" --canonical-order --flip --mae-init "$mae_npz" \
   --eval-every 25000 --ckpt-dir /tmp/tiled_ckpt_r4 --save "$npz" \
