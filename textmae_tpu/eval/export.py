@@ -46,6 +46,13 @@ _MANIFEST = "manifest.json"
 _FORMAT_VERSION = 1
 
 
+# Artifacts lower for BOTH platforms by default: a codec exported on a CPU
+# build box must replay on the TPU serving fleet and vice versa (jax.export
+# multi-platform lowering; the module carries one set of per-platform
+# lowerings selected at replay time).
+_PLATFORMS: Tuple[str, ...] = ("cpu", "tpu")
+
+
 def _export_one(fn: Callable, args: Tuple, sym_batch: bool) -> bytes:
     """Serialize fn(*args) as StableHLO; symbolic batch dim when requested."""
     jitted = jax.jit(fn)
@@ -54,9 +61,9 @@ def _export_one(fn: Callable, args: Tuple, sym_batch: bool) -> bytes:
         # (A bare "b" would be a full rank-1 shape spec and reject every
         # rank>1 input — ADVICE r3.)
         specs = jexport.symbolic_args_specs(args, "b, ...")
-        exported = jexport.export(jitted)(*specs)
+        exported = jexport.export(jitted, platforms=_PLATFORMS)(*specs)
     else:
-        exported = jexport.export(jitted)(
+        exported = jexport.export(jitted, platforms=_PLATFORMS)(
             *jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), args
             )
@@ -114,6 +121,7 @@ def export_mcm(
     manifest: Dict[str, Any] = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
+        "platforms": list(_PLATFORMS),
         "img_size": cfg.img_size,
         "num_patches": cfg.num_patches,
         "num_keep_patches": cfg.num_keep_patches,
