@@ -320,6 +320,36 @@ def main():
             out["train_mfu"] = round(
                 3 * mcm_forward_flops(cfg, tb) / (step_ms / 1000) / peak, 5
             )
+        # second point at a larger batch: MFU rises as the fixed per-step
+        # latency amortizes and the MXU sees fuller tiles — the number that
+        # matters for production training. Skipped when the budget is tight.
+        tb2 = int(os.environ.get("BENCH_TRAIN_BATCH2", "32"))
+        if tb2 > tb and stage_fits(120):
+            reps2 = -(-tb2 // n)  # tile the 24-image set up to the batch
+            t2_imgs = jnp.tile(imgs_model, (reps2, 1, 1, 1))[:tb2]
+            t2_scores = jnp.tile(scores, (reps2, 1))[:tb2]
+            t2_batch = {"imgs": t2_imgs, "scores": t2_scores}
+            t2_vars = jax.jit(
+                lambda r: model.init(
+                    {"params": r, "noise": r}, t2_imgs, t2_scores,
+                    training=False, compute_loss=False,
+                )
+            )(jax.random.PRNGKey(4))
+            t2_state = TrainState.create(t2_vars["params"], configure_optimizers(t2_vars["params"]))
+            for _ in range(3):
+                t2_state, t2_m = t_step(t2_state, t2_batch, jax.random.PRNGKey(3))
+            jax.block_until_ready(t2_m["loss"])
+            t0 = time.time()
+            for _ in range(t_n):
+                t2_state, t2_m = t_step(t2_state, t2_batch, jax.random.PRNGKey(3))
+            jax.block_until_ready(t2_m["loss"])
+            step2_ms = (time.time() - t0) / t_n * 1000
+            out[f"train_step_ms_b{tb2}"] = round(step2_ms, 2)
+            out[f"train_img_per_s_b{tb2}"] = round(tb2 / (step2_ms / 1000), 1)
+            if peak:
+                out[f"train_mfu_b{tb2}"] = round(
+                    3 * mcm_forward_flops(cfg, tb2) / (step2_ms / 1000) / peak, 5
+                )
         return out
 
     def stage_caption():
@@ -459,11 +489,12 @@ def main():
         # prefer a native-res-matched checkpoint when committed (trained on
         # native-res tile crops — in-distribution full-res metrics); fall
         # back to the headline codec (labelled OOD capability metric)
-        tiled_ckpt = Path(__file__).parent / "checkpoints" / "mcm_crop_l1_100k.f16.npz"
+        tiled_ckpt = Path(__file__).parent / "checkpoints" / "mcm_crop_l1_native.f16.npz"
         tcodec, tnorm, tnote = codec, not untrained, (
             "224-trained headline checkpoint — native-res tiles are "
             "out-of-distribution for its PSNR"
         )
+        holdout_names = set()
         if tiled_ckpt.is_file():
             from textmae_tpu.train.checkpoint import load_npz_meta, load_params_npz
             import dataclasses as _dc
@@ -480,14 +511,28 @@ def main():
                               num_threads=16)
             tcodec.update(force=True)
             tnorm = bool(tmeta.get("normalize", True))
+            holdout_names = {
+                s.strip() for s in str(tmeta.get("holdout", "")).split(",")
+                if s.strip()
+            }
             tnote = (
                 f"native-res-matched checkpoint {tiled_ckpt.name} "
-                "(trained on native-res tile crops; in-distribution)"
+                "(trained on native-res 224 crops of the train images; "
+                "tiled_psnr over train images mirrors the Quicktest "
+                "memorization protocol of the committed ladder, "
+                "tiled_holdout_psnr is true generalization)"
             )
-        arrs = []
-        for f in tfiles[:tn]:
+        # with a split-aware checkpoint, measure BOTH: the never-seen
+        # holdout images plus train images up to tn (protocol-matched)
+        picked = [f for f in tfiles if f.stem in holdout_names]
+        picked += [f for f in tfiles if f.stem not in holdout_names][
+            : max(tn - len(picked), 0)
+        ]
+        arrs, names = [], []
+        for f in picked[:max(tn, len(holdout_names))]:
             with Image.open(f) as im:
                 arrs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+                names.append(f.stem)
         # warm-up: compile the tile-batch compress/decompress programs
         # off the clock (cold they cost minutes over the tunnel)
         inference_tiled(tcodec, arrs[0], normalize=tnorm)
@@ -498,16 +543,28 @@ def main():
             t_res.append(r)
             t_pixels += arr.shape[0] * arr.shape[1]
         t_wall = time.time() - t0
-        return {
-            "tiled_psnr": round(float(np.mean([r["psnr"] for r in t_res])), 3),
-            "tiled_ms_ssim": round(
-                float(np.mean([r["ms-ssim"] for r in t_res])), 5
-            ),
-            "tiled_bpp": round(float(np.mean([r["bpp"] for r in t_res])), 4),
+
+        def agg(rows, key):
+            return round(float(np.mean([r[key] for r in rows])), 5)
+
+        train_rows = [
+            r for r, nm in zip(t_res, names) if nm not in holdout_names
+        ]
+        hold_rows = [r for r, nm in zip(t_res, names) if nm in holdout_names]
+        out = {
             "tiled_mpix_per_s": round(t_pixels / t_wall / 1e6, 3),
-            "tiled_note": f"native-res Kodak x{tn} via 224-tile batching; "
-                          + tnote,
+            "tiled_note": f"native-res Kodak x{len(arrs)} via 224-tile "
+                          "batching; " + tnote,
         }
+        if train_rows:
+            out["tiled_psnr"] = round(agg(train_rows, "psnr"), 3)
+            out["tiled_ms_ssim"] = agg(train_rows, "ms-ssim")
+            out["tiled_bpp"] = round(agg(train_rows, "bpp"), 4)
+        if hold_rows:
+            out["tiled_holdout_psnr"] = round(agg(hold_rows, "psnr"), 3)
+            out["tiled_holdout_ms_ssim"] = agg(hold_rows, "ms-ssim")
+            out["tiled_holdout_bpp"] = round(agg(hold_rows, "bpp"), 4)
+        return out
 
     def stage_rd_curve():
         # R-D curve from ALL committed rate points: every
@@ -530,8 +587,11 @@ def main():
         for extra in sorted((Path(__file__).parent / "checkpoints").glob("*.f16.npz")):
             if extra.resolve() == ckpt.resolve():
                 continue
-            if extra.name == "mcm_crop_l1_100k.f16.npz":
+            if extra.name == "mcm_crop_l1_native.f16.npz":
                 continue  # the tiled stage's checkpoint; trained on tile crops
+            emeta0 = load_npz_meta(extra)
+            if "mae" in str(emeta0.get("model", "")):
+                continue  # an MAE pretrain npz (sweep seed), not an MCM rate point
             emeta = load_npz_meta(extra)
             # self-configure from the checkpoint's provenance meta: a rate
             # point trained at a different keep/order/normalize must not be
