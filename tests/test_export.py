@@ -263,3 +263,44 @@ def test_export_rejects_newer_format(setup, tmp_path):
         z.writestr("manifest.json", json.dumps(manifest))
     with pytest.raises(ValueError, match="newer exporter"):
         ExportedMCM(path)
+
+
+def test_exported_codec_external_weights(setup, tmp_path):
+    """stream_weights='external': params ride as a runtime argument and ship
+    as a params.npz zip entry, so the compiled module stays program-sized
+    (the flagship BAKED module exceeded a remote-compile proxy's body limit
+    — VERIFICATION.md round 4). Streams must stay byte-identical to the
+    live host codec."""
+    from textmae_tpu.eval.codec import MCMCodec
+    from textmae_tpu.eval.export import ExportedCodec, export_mcm
+
+    model, variables, imgs, scores = setup
+    path = export_mcm(
+        model, variables, tmp_path / "ext.mcmx", kinds=("stream",),
+        example_batch=2, stream_weights="external",
+    )
+    exc = ExportedCodec(path)
+    assert exc.info["weights"] == "external"
+    streams, ids = exc.compress(imgs, scores)
+    x_hat = exc.decompress(streams, ids)
+
+    codec = MCMCodec(model, variables)
+    codec.update(force=True)
+    host_streams, host_ids = codec.compress(imgs, scores)
+    for s_e, s_h in zip(streams, host_streams):
+        assert s_e.y_string == s_h.y_string
+        assert s_e.z_string == s_h.z_string
+    np.testing.assert_array_equal(ids, host_ids)
+    fwd = model.apply(
+        variables, imgs, scores, training=False, compute_loss=False
+    )["x_hat"]
+    np.testing.assert_allclose(
+        np.asarray(x_hat), np.asarray(fwd), rtol=1e-4, atol=1e-4
+    )
+
+    # the external module must be much smaller than the baked one at
+    # flagship scale; at tiny scale just assert the params entry exists
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        assert "params.npz" in z.namelist()

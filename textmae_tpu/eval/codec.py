@@ -429,15 +429,18 @@ class MCMCodec:
         return (g, g)
 
     # ------------------------------------------------------------------
-    def _run_slice_chain(self, y, latent_means, latent_scales):
+    def _run_slice_chain(self, y, latent_means, latent_scales, v=None):
         """Device-side conditional chain via the shared per-slice programs.
 
         Returns stacked (symbols (S,N,h,w,g) int16, indexes (...) uint8).
         All dispatches are async; the only host sync is the caller's transfer.
+        v: variables override (stream_programs' weights-external mode threads
+        params as a runtime argument); default = this codec's own weights.
         """
         cfg = self.cfg
         n, h, w, _ = y.shape
-        v = self.variables
+        if v is None:
+            v = self.variables
         head = cfg.max_support
         buf = jnp.zeros((n, h, w, cfg.group_ch * head), jnp.float32)
         syms, idxs = [], []
@@ -822,7 +825,7 @@ class MCMCodec:
         return self._finish(v, y_hat, jnp.asarray(ids_restore))
 
     # ------------------------------------------------------------------
-    def stream_programs(self, batch: int):
+    def stream_programs(self, batch: int, weights_external: bool = False):
         """Monolithic single-jit bitstream codec programs, for AOT export.
 
         The interactive codec splits compress/decompress into many small
@@ -844,6 +847,17 @@ class MCMCodec:
         Batch is FIXED per program: the stacked tail/slice scans mix
         batch-leading and slice-leading carries, which rejects a symbolic
         batch dim (see export.py manifest fallback reasons).
+
+        weights_external=True threads the param pytree as the FIRST runtime
+        argument of both programs instead of baking it into the module as
+        constants. The compiled module shrinks from weights-size to
+        program-size — measured necessity: the flagship baked artifact's
+        683 MB module exceeded the remote-compile tunnel's HTTP body limit
+        (HTTP 413; VERIFICATION.md round 4) — and the artifact ships the
+        weights as a separate npz entry instead. Entropy tables stay baked
+        (small, and they are DERIVED from the weights — swapping the npz
+        without rebuilding tables would desynchronize streams, so the
+        manifest pins them together).
         """
         self._require_tables()
         cfg = self.cfg
@@ -859,13 +873,14 @@ class MCMCodec:
         z_cap = t_z // 2 + 64
         head = cfg.max_support
         tail = cfg.num_slices - head
-        v = self.variables
         z_idx_row = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)
 
-        def encode_stream(imgs, scores):
+        def _enc(v, imgs, scores):
             front = self._front(v, imgs, scores)
             lm, ls = self._hyper(v, front["z_sym"])
-            syms, idxs, overflow = self._run_slice_chain(front["y"], lm, ls)
+            syms, idxs, overflow = self._run_slice_chain(
+                front["y"], lm, ls, v=v
+            )
             n = imgs.shape[0]
             y_sym = jnp.transpose(syms, (1, 0, 2, 3, 4)).reshape(n, t_y)
             y_idx = jnp.transpose(idxs, (1, 0, 2, 3, 4)).reshape(n, t_y)
@@ -885,7 +900,8 @@ class MCMCodec:
                 "overflow": overflow,
             }
 
-        def decode_stream(
+        def _dec(
+            v,
             y_words, y_count, y_hi, y_lo, y_pos,
             z_words, z_count, z_hi, z_lo, z_pos,
             ids_restore,
@@ -954,5 +970,30 @@ class MCMCodec:
             "z_words_width": z_cap + 2,
             "z_shape": [hz, wz],
             "batch": b,
+            "weights": "external" if weights_external else "baked",
         }
+        if weights_external:
+            # params ride as the first runtime argument of both programs
+            p_example = self.variables["params"]
+
+            def encode_stream(params, imgs, scores):
+                return _enc({"params": params}, imgs, scores)
+
+            def decode_stream(params, *args):
+                return _dec({"params": params}, *args)
+
+            return (
+                encode_stream, (p_example,) + enc_args,
+                decode_stream, (p_example,) + dec_args,
+                info,
+            )
+
+        v_const = self.variables  # closure constant: baked into the module
+
+        def encode_stream(imgs, scores):
+            return _enc(v_const, imgs, scores)
+
+        def decode_stream(*args):
+            return _dec(v_const, *args)
+
         return encode_stream, enc_args, decode_stream, dec_args, info

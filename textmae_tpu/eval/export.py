@@ -105,6 +105,7 @@ def export_mcm(
     example_batch: int = 1,
     symbolic_batch: bool = True,
     meta: Optional[Dict[str, Any]] = None,
+    stream_weights: str = "baked",
 ) -> Path:
     """Write a .mcmx artifact for an MCM model + weights.
 
@@ -200,22 +201,28 @@ def export_mcm(
             }
 
     if "stream" in kinds:
-        # Complete bitstream codec as two monolithic programs (weights AND
-        # quantized CDF tables baked in; see MCMCodec.stream_programs). The
-        # model is rebuilt Pallas-free: Mosaic custom calls would pin the
-        # artifact to one TPU generation, and export must replay anywhere.
+        # Complete bitstream codec as two monolithic programs (quantized CDF
+        # tables always baked; see MCMCodec.stream_programs). The model is
+        # rebuilt Pallas-free: Mosaic custom calls would pin the artifact to
+        # one TPU generation, and export must replay anywhere.
+        # stream_weights: "baked" captures params as module constants;
+        # "external" threads them as a runtime argument and ships them as a
+        # params.npz entry — the compiled module stays program-sized (the
+        # flagship baked module at 683 MB exceeded a remote-compile proxy's
+        # body limit; external is the production default for large models).
         import dataclasses as _dc
 
         from textmae_tpu.eval.codec import MCMCodec
         from textmae_tpu.models.mcm import MCM as _MCM
 
+        external = stream_weights == "external"
         cfg_x = _dc.replace(cfg, use_pallas=False)
         codec = MCMCodec(
             _MCM(cfg_x), variables, device_chain=False, device_encode=False
         )
         codec.update(force=True)
         enc_fn, enc_args, dec_fn, dec_args, info = codec.stream_programs(
-            batch=example_batch
+            batch=example_batch, weights_external=external
         )
         for name, fn, args in (
             ("encode_stream", enc_fn, enc_args),
@@ -228,8 +235,22 @@ def export_mcm(
             manifest["programs"][name] = {
                 "file": f"{name}.bin",
                 "symbolic_batch": False,
-                "in": [list(np.shape(a)) for a in args],
+                "in": [
+                    list(np.shape(a))
+                    for a in (args[1:] if external else args)
+                ],
             }
+        if external:
+            # exact dtypes (no f16 rounding): the npz must reproduce the
+            # codec's in-memory params bit-for-bit or streams desync
+            import flax.traverse_util as tu
+
+            flat = tu.flatten_dict(
+                jax.tree.map(np.asarray, variables["params"]), sep="/"
+            )
+            bio = io.BytesIO()
+            np.savez(bio, **flat)
+            entries["params.npz"] = bio.getvalue()
         manifest["stream"] = info
 
     buf = io.BytesIO()
@@ -297,6 +318,20 @@ class ExportedCodec:
         self.batch = int(self.info["batch"])
         self.num_keep_patches = int(m["num_keep_patches"])
         self.canonical_keep_order = bool(m["canonical_keep_order"])
+        self._params = None
+        if self.info.get("weights") == "external":
+            # params ship as a npz entry; upload once, thread per call
+            import flax.traverse_util as tu
+
+            with zipfile.ZipFile(Path(path)) as z:
+                with np.load(io.BytesIO(z.read("params.npz"))) as npz:
+                    flat = {k: np.asarray(v) for k, v in npz.items()}
+            self._params = jax.device_put(tu.unflatten_dict(flat, sep="/"))
+
+    def _call(self, program, *args):
+        if self._params is not None:
+            return program(self._params, *args)
+        return program(*args)
 
     def compress(self, imgs, scores):
         """(N,C,H,W), (N,L) -> (streams, ids_restore). N must equal the
@@ -310,7 +345,7 @@ class ExportedCodec:
             raise ValueError(
                 f"exported program batch is {self.batch}, got {np.shape(imgs)[0]}"
             )
-        out = _jax.device_get(self.ex.encode_stream(imgs, scores))
+        out = _jax.device_get(self._call(self.ex.encode_stream, imgs, scores))
         if int(out["overflow"]) > 0:
             raise OverflowError(
                 "quantized symbols exceeded int16 range — the model has "
@@ -354,7 +389,8 @@ class ExportedCodec:
         zw, zc, zhi, zlo, zpos = self._states(
             [s.z_string for s in streams], int(self.info["z_words_width"])
         )
-        return self.ex.decode_stream(
+        return self._call(
+            self.ex.decode_stream,
             yw, yc, yhi, ylo, ypos, zw, zc, zhi, zlo, zpos,
             np.asarray(ids_restore, np.int32),
         )
