@@ -288,8 +288,9 @@ def main():
         )
 
         tb = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
-        t_imgs = imgs_model[:tb]
-        t_scores = scores[:tb]
+        reps1 = -(-tb // n)  # tile the 24-image set when tb > n
+        t_imgs = jnp.tile(imgs_model, (reps1, 1, 1, 1))[:tb]
+        t_scores = jnp.tile(scores, (reps1, 1))[:tb]
         t_vars = jax.jit(
             lambda r: model.init(
                 {"params": r, "noise": r}, t_imgs, t_scores,
@@ -589,10 +590,9 @@ def main():
                 continue
             if extra.name == "mcm_crop_l1_native.f16.npz":
                 continue  # the tiled stage's checkpoint; trained on tile crops
-            emeta0 = load_npz_meta(extra)
-            if "mae" in str(emeta0.get("model", "")):
-                continue  # an MAE pretrain npz (sweep seed), not an MCM rate point
             emeta = load_npz_meta(extra)
+            if "mae" in str(emeta.get("model", "")):
+                continue  # an MAE pretrain npz (sweep seed), not an MCM rate point
             # self-configure from the checkpoint's provenance meta: a rate
             # point trained at a different keep/order/normalize must not be
             # silently evaluated under the headline config (that would put

@@ -30,6 +30,18 @@ def test_test_parser_defaults():
     assert not args.entropy_estimation
 
 
+def test_mae_pretrain_fsdp_min_size_flag():
+    """--fsdp_min_size plumbs the ZeRO-3 threshold through the MAE pretrain
+    CLI too (ADVICE r3 applied at both FSDP entry points, not just train)."""
+    from textmae_tpu.cli.mae_pretrain import build_parser
+
+    args = build_parser().parse_args(
+        ["--data_path", "/tmp", "--fsdp", "--fsdp_min_size", "256"]
+    )
+    assert args.fsdp and args.fsdp_min_size == 256
+    assert build_parser().parse_args(["--data_path", "/tmp"]).fsdp_min_size == 2**13
+
+
 def test_mae_parsers():
     a = pretrain_parser().parse_args(["--data_path", "x"])
     assert a.mask_ratio == 0.75 and a.blr == 1e-3 and a.epochs == 800

@@ -76,6 +76,10 @@ def build_parser():
                         "moments) over the 'data' mesh axis "
                         "(parallel/fsdp.py); composes with --tensor_parallel "
                         "into the 2-D data x model layout")
+    p.add_argument("--fsdp_min_size", type=int, default=2**13,
+                   help="parameters with fewer elements than this replicate "
+                        "instead of FSDP-sharding; lower it for debug_tiny "
+                        "models so sharding actually engages")
     p.add_argument("--sequence_parallel", action="store_true",
                    help="with --tensor_parallel: Megatron SP on the model "
                         "axis — residual stream token-sharded between "
@@ -167,12 +171,16 @@ def main(argv=None):
             axes["model"] = tp
         ep_mesh = make_mesh(axes)
         params = shard_params_fsdp(
-            params, ep_mesh, tp_axis="model" if tp > 1 else None
+            params, ep_mesh, min_size=args.fsdp_min_size,
+            tp_axis="model" if tp > 1 else None,
         )
         print(
             "mesh " + " x ".join(f"{k}{v}" for k, v in axes.items())
             + " (FSDP / ZeRO-3" + (" x TP)" if tp > 1 else ")")
         )
+        from textmae_tpu.parallel.fsdp import fsdp_report
+
+        print(fsdp_report(params))
     elif args.pipeline_stages == 1 and (
         args.expert_parallel > 1 or args.tensor_parallel > 1
     ):
@@ -245,7 +253,9 @@ def main(argv=None):
             tp_w = max(args.tensor_parallel, 1)
             if args.fsdp:
                 resharder = functools.partial(
-                    shard_params_fsdp, tp_axis="model" if tp_w > 1 else None
+                    shard_params_fsdp,
+                    min_size=args.fsdp_min_size,
+                    tp_axis="model" if tp_w > 1 else None,
                 )
             elif tp_w > 1 and args.expert_parallel > 1:
                 resharder = shard_params_tp_ep

@@ -621,6 +621,21 @@ def main(argv=None):
                 f"artifact num_patches {m['num_patches']} does not match a "
                 f"patch-16 grid at img_size {m['img_size']}"
             )
+        # normalize provenance: a normalize-trained artifact served raw
+        # silently degrades every response (the checkpoint path
+        # self-configures via npz meta for exactly this reason); the
+        # manifest meta carries the flag when the exporter recorded it
+        art_norm = m.get("meta", {}).get("normalize")
+        if art_norm is not None and bool(art_norm) != args.normalize:
+            args.normalize = bool(art_norm)
+            print(f"--normalize={args.normalize} from artifact meta", flush=True)
+        elif art_norm is None:
+            print(
+                "[warn] artifact meta records no 'normalize' provenance; "
+                f"serving with --normalize={args.normalize} as given "
+                "(export with meta={'normalize': ...} to self-configure)",
+                flush=True,
+            )
         service = CodecService(
             None, None, max_batch=exc.batch,
             batch_window_ms=args.batch_window_ms, normalize=args.normalize,

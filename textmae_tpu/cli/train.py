@@ -21,23 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _fsdp_report(params, axis: str = "data") -> str:
-    """One line stating how many param leaves actually FSDP-sharded — a
-    debug-tiny run where every kernel is below --fsdp-min-size silently
-    exercises only the plumbing (ADVICE r3), so the placement is printed
-    (and e2e-asserted) rather than assumed."""
-    leaves = jax.tree.leaves(params)
-    n_sharded = 0
-    for leaf in leaves:
-        spec = getattr(getattr(leaf, "sharding", None), "spec", None) or ()
-        for entry in spec:
-            names = entry if isinstance(entry, tuple) else (entry,)
-            if axis in names:
-                n_sharded += 1
-                break
-    return f"FSDP sharded {n_sharded}/{len(leaves)} param leaves over '{axis}'"
-
-
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the MCM compression model (TPU).")
     p.add_argument("-d", "--dataset", type=str, required=True, help="dataset root (train/ + val/)")
@@ -227,7 +210,8 @@ def main(argv=None):
                 params, mesh, min_size=args.fsdp_min_size, tp_axis="model"
             )
             print(f"mesh data{ndev // tp} x model{tp} (FSDP x TP)")
-            print(_fsdp_report(params))
+            from textmae_tpu.parallel.fsdp import fsdp_report
+            print(fsdp_report(params))
         else:
             from textmae_tpu.parallel import shard_params
 
@@ -240,7 +224,8 @@ def main(argv=None):
 
             params = shard_params_fsdp(params, mesh, min_size=args.fsdp_min_size)
             print(f"mesh data{mesh.shape['data']} (FSDP / ZeRO-3)")
-            print(_fsdp_report(params))
+            from textmae_tpu.parallel.fsdp import fsdp_report
+            print(fsdp_report(params))
 
     vgg_variables = None
     if not args.no_vgg:

@@ -99,3 +99,20 @@ def shard_params_fsdp(
     (TrainState.create -> optax zeros_like keeps input sharding)."""
     shardings = fsdp_param_shardings(params, mesh, axis, min_size, tp_axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def fsdp_report(params, axis: str = "data") -> str:
+    """One line stating how many param leaves actually FSDP-sharded — a
+    debug-tiny run where every kernel is below min_size silently exercises
+    only the plumbing (ADVICE r3), so CLIs print (and e2e tests assert) the
+    placement rather than assume it."""
+    leaves = jax.tree.leaves(params)
+    n_sharded = 0
+    for leaf in leaves:
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None) or ()
+        for entry in spec:
+            names = entry if isinstance(entry, tuple) else (entry,)
+            if axis in names:
+                n_sharded += 1
+                break
+    return f"FSDP sharded {n_sharded}/{len(leaves)} param leaves over '{axis}'"

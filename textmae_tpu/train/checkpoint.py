@@ -40,7 +40,20 @@ def is_lead_process() -> bool:
 
 
 def save_checkpoint(directory: os.PathLike, name: str, state, meta: Dict) -> Optional[Path]:
-    """Write {state, meta} under directory/name (lead process only).
+    """Write {state, meta} under directory/name; the LEAD process writes.
+
+    COLLECTIVE under multi-host sharding: when any leaf is sharded across
+    processes (FSDP over a cross-process "data" axis), the gather below is
+    a collective — call this from EVERY process with the same decision
+    (never under an ``if is_lead_process():`` guard, and never behind a
+    condition that can diverge across processes; either hangs the gang).
+    Single-host callers are unaffected (non-lead is then a cheap no-op).
+
+    Scale note: the gather materializes the full unsharded state (params +
+    both Adam moments) transiently in host RAM on every process — fine for
+    this repo's model sizes; at ZeRO-3 scale where hosts are sized for
+    sharded state, switch to Orbax's sharded-array save (no all-to-one
+    gather) instead.
 
     The state pytree is canonicalized through flax.serialization so restore
     does not depend on custom pytree node ordering (optax named tuples,
