@@ -41,6 +41,55 @@ import numpy as np
 
 TARGET_IMG_PER_S = 50.0
 
+# ---- stage-result persistence (VERDICT r4 Next #3): optional stages that a
+# tight deadline skips would otherwise NEVER reach the driver artifact. Every
+# successful stage writes its fields here (keyed by git SHA + config note);
+# later runs re-print cached fields with a `<stage>_measured_at` marker, and
+# leftover budget is spent on the STALEST stage first (rotation), so over
+# rounds every stage stays at most a round stale.
+CACHE_PATH = Path(__file__).parent / "pipeline_out" / "bench_cache.json"
+
+
+def _git_sha() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def load_stage_cache() -> dict:
+    try:
+        obj = json.loads(CACHE_PATH.read_text())
+        return obj if isinstance(obj, dict) else {}
+    except Exception:
+        return {}
+
+
+def save_stage_cache(cache: dict) -> None:
+    try:
+        CACHE_PATH.parent.mkdir(parents=True, exist_ok=True)
+        tmp = CACHE_PATH.with_suffix(".tmp")
+        tmp.write_text(json.dumps(cache, indent=1))
+        tmp.replace(CACHE_PATH)
+    except Exception:
+        pass  # cache is best-effort; never sink a measured run
+
+
+def rotation_order(stages, cache: dict):
+    """Never-measured stages first (cheapest-first among them), then stalest
+    cache entries first: over successive runs every stage gets refreshed
+    instead of the same cheap prefix re-running while the expensive tail
+    stays 'skipped: soft deadline' forever."""
+    return sorted(
+        stages, key=lambda st: (cache.get(st[0], {}).get("t", 0.0), st[1])
+    )
+
 
 def load_images(img_size=224):
     from PIL import Image
@@ -222,8 +271,12 @@ def main():
         return n * reps / (time.time() - t0)
 
     # best of N windows: the remote tunnel's RTT jitter (observed 49-66 img/s
-    # on identical code) would otherwise dominate a single measurement
-    img_per_s = max(measure_window() for _ in range(windows))
+    # on identical code) would otherwise dominate a single measurement; the
+    # per-window values are kept so the record carries its own dispersion
+    # (VERDICT r4 Weak #4: a single draw from a ±20% RTT band is unreadable
+    # without it)
+    window_vals = sorted(measure_window() for _ in range(windows))
+    img_per_s = window_vals[-1]
 
     # ---- cumulative scoreboard: R holds every field measured so far and is
     # re-printed in full after the headline and after each optional stage,
@@ -237,6 +290,10 @@ def main():
         "psnr": round(metrics["psnr"], 3),
         "ms_ssim": round(metrics["ms-ssim"], 5),
         "backend": jax.default_backend(),
+        # dispersion of the per-window throughput (value = best window):
+        # spread here is tunnel-RTT jitter, not code change
+        "value_windows": [round(v, 2) for v in window_vals],
+        "value_spread": round(window_vals[-1] - window_vals[0], 2),
         "setup_s": round(setup_s, 1),
         # occupancy sums across overlapped round-trip threads, NOT
         # critical-path time (phases of concurrent reps interleave)
@@ -462,7 +519,16 @@ def main():
             for _ in range(2):
                 out_f = ref_f.refine_batch(pix_full, full_caps)
             jax.block_until_ready(out_f)
-            out["refine_full_img_per_s"] = round(fb * 2 / (time.time() - t0), 3)
+            refine_rate_f = fb * 2 / (time.time() - t0)
+            out["refine_full_img_per_s"] = round(refine_rate_f, 3)
+            if peak:
+                # analytic refine FLOPs (VAE + CFG-doubled UNet x run steps,
+                # utils/flops.py, cost-analysis-validated) over measured rate
+                from textmae_tpu.utils.flops import refiner_forward_flops
+
+                rf = refiner_forward_flops(ref_f.config, 224, 224, batch=1)
+                out["refine_full_flops_per_image_g"] = round(rf / 1e9, 1)
+                out["refine_full_mfu"] = round(rf * refine_rate_f / peak, 5)
             del ref_f, out_f
             out["full_dims_note"] = (
                 f"published blip2-opt-2.7b / SDXL-refiner widths, bf16 params, "
@@ -643,8 +709,7 @@ def main():
         return {"rd_curve": sorted(curve, key=lambda p: p["bpp"])}
 
     state = {}
-    # (name, cold-cache cost estimate s, env gate, fn) — cheapest-first so a
-    # tight budget records the highest-value fields before running out
+    # (name, cold-cache cost estimate s, env gate, fn)
     stages = (
         ("train", 180, "BENCH_TRAIN", stage_train),
         ("rd_curve", 240, "BENCH_RD_CURVE", stage_rd_curve),
@@ -653,17 +718,40 @@ def main():
         ("refine", 420, "BENCH_REFINE", stage_refine),
         ("full_dims", 600, "BENCH_FULL_DIMS", stage_full_dims),
     )
-    for name, est, env_gate, fn in stages:
+    cache = load_stage_cache()
+    sha = _git_sha()
+    for name, est, env_gate, fn in rotation_order(stages, cache):
         if os.environ.get(env_gate, "1") == "0":
             continue
+        entry = cache.get(name)
+
+        def fill_from_cache(reason):
+            R[f"{name}_note"] = reason
+            if entry and isinstance(entry.get("fields"), dict):
+                # cached fields fill gaps only — never clobber fresher data
+                for k, v in entry["fields"].items():
+                    R.setdefault(k, v)
+                R[f"{name}_measured_at"] = (
+                    f"{entry.get('sha', '?')} "
+                    f"{time.strftime('%Y-%m-%d', time.gmtime(entry.get('t', 0)))}"
+                )
+
         if not stage_fits(est):
-            R[f"{name}_note"] = "skipped: soft deadline"
+            fill_from_cache("skipped: soft deadline"
+                            + ("; cached fields below" if entry else ""))
             emit()
             continue
         try:
-            R.update(fn())
+            fields = fn()
+            R.update(fields)
+            if f"{name}_note" not in fields:
+                R.pop(f"{name}_note", None)  # clear a stale skip marker
+            R.pop(f"{name}_measured_at", None)
+            if fields:
+                cache[name] = {"fields": fields, "sha": sha, "t": time.time()}
+                save_stage_cache(cache)
         except Exception as e:  # a failed stage never sinks earlier fields
-            R[f"{name}_note"] = f"skipped: {type(e).__name__}: {e}"[:300]
+            fill_from_cache(f"skipped: {type(e).__name__}: {e}"[:300])
         emit()
     return 0
 

@@ -136,6 +136,34 @@ def test_supervise_emits_error_json_after_exhausted_attempts(
     assert obj["value"] == 0.0 and "error" in obj
 
 
+def test_stage_cache_roundtrip_and_rotation(monkeypatch, tmp_path):
+    """Stage-result persistence (VERDICT r4 Next #3): results survive to the
+    next run's scoreboard, and the run order visits never-measured stages
+    first (cheapest-first), then the stalest cache entry."""
+    monkeypatch.setattr(bench, "CACHE_PATH", tmp_path / "bench_cache.json")
+    assert bench.load_stage_cache() == {}  # missing file -> empty
+    cache = {
+        "train": {"fields": {"train_mfu": 0.28}, "sha": "abc", "t": 100.0},
+        "refine": {"fields": {"refine_img_per_s": 11.6}, "sha": "abc", "t": 50.0},
+    }
+    bench.save_stage_cache(cache)
+    assert bench.load_stage_cache() == cache
+
+    stages = (
+        ("train", 180, "E", None),
+        ("rd_curve", 240, "E", None),
+        ("caption", 300, "E", None),
+        ("refine", 420, "E", None),
+    )
+    names = [s[0] for s in bench.rotation_order(stages, cache)]
+    # uncached (rd_curve cheaper than caption) first, then stalest cached
+    assert names == ["rd_curve", "caption", "refine", "train"]
+
+    # corrupt file degrades to empty, never raises
+    bench.CACHE_PATH.write_text("{not json")
+    assert bench.load_stage_cache() == {}
+
+
 def test_supervise_sizes_child_deadline_inside_attempt_window(
     monkeypatch, capsys
 ):

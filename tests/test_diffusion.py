@@ -170,6 +170,35 @@ def test_refiner_pipeline_end_to_end(tiny_refiner):
     assert np.abs(out - out2).max() > 1e-7
 
 
+def test_refiner_tensor_parallel_matches_replicated(tiny_refiner):
+    """TP-sharded refine (UNet transformer matrices over "model",
+    diffusion/sharding.py) must reproduce the replicated result: identical
+    math, XLA-inserted collectives only (VERDICT r4 Next #1)."""
+    from textmae_tpu.diffusion.sharding import unet_param_shardings
+    from textmae_tpu.parallel import make_mesh
+
+    imgs = np.random.default_rng(1).random((2, 16, 16, 3)).astype(np.float32)
+    caps = ["a cat", "a dog"]
+    base = np.asarray(tiny_refiner.refine_batch(imgs, caps))
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    ref_tp = SDXLRefiner(TINY)  # fresh instance: same seed -> same params
+    specs = unet_param_shardings(ref_tp.params["unet"], mesh)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    sharded_specs = [
+        "/".join(str(getattr(p, "key", p)) for p in path)
+        for path, s in flat if s.spec != jax.sharding.PartitionSpec()
+    ]
+    # every transformer matrix sharded: qkv + out + GEGLU halves + ff out
+    assert any("to_q/kernel" in s for s in sharded_specs)
+    assert any("proj_gate/kernel" in s for s in sharded_specs)
+    assert any("ff/out/kernel" in s for s in sharded_specs)
+    ref_tp.shard(mesh)
+    assert not ref_tp.config.unet.use_pallas
+    tp = np.asarray(ref_tp.refine_batch(imgs, caps))
+    np.testing.assert_allclose(tp, base, rtol=2e-4, atol=2e-4)
+
+
 def test_real_tokenizer_round_trip(tmp_path, tiny_refiner):
     """A real CLIP BPE tokenizer (tiny-vocab fixture) wired the way
     load_sdxl_weights does must drive refine_batch end to end and produce
@@ -233,12 +262,15 @@ def _leaf_paths(tree, prefix=()):
 def _torch_shaped(path, arr, rng):
     """Random tensor with the diffusers-side shape for a flax leaf."""
     arr = np.asarray(arr)
+    # GEGLU halves: two flax leaves (proj_h/proj_gate) slice ONE fused
+    # diffusers net.0.proj tensor of twice the out-dim
+    fused = 2 if len(path) >= 2 and path[-2] in ("proj_h", "proj_gate") else 1
     if path[-1] == "kernel" and arr.ndim == 4:  # HWIO -> OIHW
         shape = (arr.shape[3], arr.shape[2], arr.shape[0], arr.shape[1])
     elif path[-1] == "kernel":  # (in, out) -> (out, in)
-        shape = (arr.shape[1], arr.shape[0])
+        shape = (arr.shape[1] * fused, arr.shape[0])
     else:
-        shape = arr.shape
+        shape = (arr.shape[0] * fused,) + arr.shape[1:]
     return rng.standard_normal(shape).astype(np.float32)
 
 
@@ -264,12 +296,30 @@ def test_unet_importer_covers_all_params():
     )(jax.random.PRNGKey(0), sample, ctx)
     key_map = unet_key_map(params)
     keys = [k for k, _ in key_map.values()]
-    assert len(set(keys)) == len(keys)  # no two leaves share a source tensor
+    # no two leaves share a source tensor EXCEPT the GEGLU value/gate pair,
+    # which by design slice the two halves of one fused net.0.proj tensor
+    from collections import Counter
+
+    for key, count in Counter(keys).items():
+        if ".ff.net.0.proj." in key:
+            assert count == 2, key
+        else:
+            assert count == 1, key
     sd = _synthetic_sd(params, key_map, np.random.default_rng(0))
     out = sdxl_unet_torch_to_flax(sd, params)
     flat = dict(_leaf_paths(params))
     for path, v in _leaf_paths(out):
         assert np.asarray(v).shape == np.asarray(flat[path]).shape
+    # value/gate halves come from the SAME fused tensor, disjoint halves
+    flat_out = dict(_leaf_paths(out))
+    for path in flat_out:
+        if path[-2] == "proj_h" and path[-1] == "kernel":
+            gate = flat_out[path[:-2] + ("proj_gate", "kernel")]
+            fused_key = key_map[path][0]
+            fused = sd[fused_key].T
+            inner = fused.shape[1] // 2
+            np.testing.assert_array_equal(flat_out[path], fused[:, :inner])
+            np.testing.assert_array_equal(gate, fused[:, inner:])
 
 
 def test_vae_importer_covers_all_params():

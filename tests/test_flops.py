@@ -112,3 +112,57 @@ def test_mcm_forward_flops_scale():
     flops = compiled_flops(fwd, imgs, scores)
     analytic = mcm_forward_flops(cfg, batch=2)
     assert 0.9 * flops < analytic < 1.6 * flops, (analytic, flops)
+
+
+def test_unet_vae_flops_vs_cost_analysis():
+    """Refiner FLOPs estimators (bench refine_mfu) vs XLA's own cost
+    analysis on the compiled tiny-dims programs: the analytic count covers
+    matmul/conv terms only, so it must land just below the compiled count
+    but within 30% of it (same bracketing contract as the MCM estimator)."""
+    from textmae_tpu.diffusion import (
+        AutoencoderKL, RefinerConfig, UNet2DCondition,
+    )
+    from textmae_tpu.utils.flops import (
+        unet_forward_flops, vae_roundtrip_flops,
+    )
+
+    cfg = RefinerConfig.tiny()
+    ucfg = cfg.unet
+    unet = UNet2DCondition(ucfg)
+    n, lh, lw, t = 2, 8, 8, 7
+    sample = jnp.zeros((n, lh, lw, ucfg.in_channels))
+    ctx = jnp.zeros((n, t, ucfg.cross_attention_dim))
+    pooled = jnp.zeros((n, ucfg.pooled_projection_dim))
+    tids = jnp.zeros((n, ucfg.num_time_ids))
+    params = jax.jit(
+        lambda r: unet.init(r, sample, jnp.float32(1.0), ctx, pooled, tids)
+    )(jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda s, c, p, i: unet.apply(params, s, jnp.float32(1.0), c, p, i))
+    got = compiled_flops(fwd, sample, ctx, pooled, tids)
+    want = unet_forward_flops(ucfg, lh, lw, t, batch=n)
+    assert 0.7 * got < want <= got, (want, got)
+
+    vae = AutoencoderKL(cfg.vae)
+    img = jnp.zeros((n, 16, 16, 3))
+    vparams = jax.jit(lambda r: vae.init(r, img))(jax.random.PRNGKey(1))
+    vfwd = jax.jit(lambda x: vae.apply(vparams, x))
+    vgot = compiled_flops(vfwd, img)
+    vwant = vae_roundtrip_flops(cfg.vae, 16, 16, batch=n)
+    assert 0.7 * vgot < vwant <= vgot, (vwant, vgot)
+
+
+def test_refiner_flops_composition():
+    """refiner_forward_flops = VAE round trip + run-steps x CFG-doubled
+    UNet (the scan trip count the compiled analysis cannot see)."""
+    from textmae_tpu.diffusion import RefinerConfig
+    from textmae_tpu.utils.flops import (
+        refiner_forward_flops, unet_forward_flops, vae_roundtrip_flops,
+    )
+
+    cfg = RefinerConfig.tiny()  # 4 steps, strength 0.5 -> 2 run steps
+    h = w = 32
+    factor = 2 ** (len(cfg.vae.block_out_channels) - 1)
+    want = vae_roundtrip_flops(cfg.vae, h, w, 1) + 2 * unet_forward_flops(
+        cfg.unet, h // factor, w // factor, cfg.text.max_length, batch=2
+    )
+    assert refiner_forward_flops(cfg, h, w, 1) == want

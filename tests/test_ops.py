@@ -103,6 +103,29 @@ class TestAttention:
         out = fused_attention(q, q, q)
         assert out.shape == q.shape
 
+    @pytest.mark.parametrize(
+        "sq,skv",
+        [
+            (300, 300),   # self-attn beyond the single-block kernel's S<=256
+            (784, 784),   # 224px UNet latent tokens
+            (196, 77),    # cross-attention on text tokens
+            (130, 1000),  # non-divisible q AND kv block tails
+        ],
+    )
+    def test_flash_kernel_matches_reference(self, rng, sq, skv):
+        """Blockwise online-softmax kernel (interpret mode on CPU) must match
+        the jnp reference at long / unequal sequence lengths, including
+        partial q and kv tail blocks."""
+        from textmae_tpu.ops.attention import _attention_flash
+
+        q = jnp.asarray(rng.normal(size=(1, 2, sq, 64)), dtype=jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 2, skv, 64)), dtype=jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 2, skv, 64)), dtype=jnp.float32)
+        out = _attention_flash(q, k, v, block_q=128, block_k=256, interpret=True)
+        np.testing.assert_allclose(
+            out, attention_reference(q, k, v), rtol=2e-5, atol=2e-5
+        )
+
 
 class TestSSIM:
     def test_identity_is_one(self, rng):

@@ -56,6 +56,10 @@ def build_parser():
                         "(textmae_tpu.diffusion); torch = diffusers pipeline")
     p.add_argument("--refine-steps", type=int, default=None,
                    help="denoise steps for the refiner (default: config)")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="shard the native refiner's UNet over a {'model': N} "
+                        "mesh of the first N local devices (Megatron TP, "
+                        "diffusion/sharding.py)")
     return p
 
 
@@ -194,7 +198,9 @@ def main(argv=None):
             from textmae_tpu.models.diffusion import Diffuser
 
             diffuser = Diffuser.prepare_model(
-                backend=args.refine_backend, num_inference_steps=args.refine_steps
+                backend=args.refine_backend,
+                num_inference_steps=args.refine_steps,
+                tensor_parallel=args.tensor_parallel,
             )
             refined = diffuser.refine_image(caption or "a photo", recon_img)
             refined_path = out_dir / "refined.png"

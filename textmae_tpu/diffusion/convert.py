@@ -34,6 +34,25 @@ def _ident(w):
     return np.asarray(w)
 
 
+def _t_half(idx: int):
+    """diffusers fuses the GEGLU value/gate projections into one net.0.proj
+    weight; our GEGLUFeedForward keeps them as separate proj_h/proj_gate
+    kernels (clean column-sharding under tensor parallelism — see
+    diffusion/unet.py). idx 0 = value half, 1 = gate half (diffusers chunks
+    dim=-1 in that order)."""
+
+    def f(w):
+        w = np.asarray(w)
+        if w.ndim == 2:  # (2*inner, in) torch linear -> (in, inner) kernel
+            w = _t(w)
+            h = w.shape[1] // 2
+            return np.ascontiguousarray(w[:, idx * h : (idx + 1) * h])
+        h = w.shape[0] // 2  # bias
+        return np.ascontiguousarray(w[idx * h : (idx + 1) * h])
+
+    return f
+
+
 def _resnet_key(flax_leaf: Tuple[str, ...], prefix: str):
     """Shared resnet-leaf mapping under a diffusers module prefix."""
     mod, p = flax_leaf[-2], flax_leaf[-1]
@@ -81,8 +100,12 @@ def _transformer_leaf(path: Tuple[str, ...], prefix: str):
         return f"{inner}.{sub}.{key}.{p}", _t if p == "kernel" else _ident
     if sub == "ff":
         mod = path[3]
-        key = "net.0.proj" if mod == "proj" else "net.2"
-        return f"{inner}.{sub}.{key}.{p}", _t if p == "kernel" else _ident
+        if mod in ("proj_h", "proj_gate"):
+            return (
+                f"{inner}.{sub}.net.0.proj.{p}",
+                _t_half(0 if mod == "proj_h" else 1),
+            )
+        return f"{inner}.{sub}.net.2.{p}", _t if p == "kernel" else _ident
     raise KeyError(path)
 
 

@@ -151,6 +151,30 @@ class SDXLRefiner:
         }
 
     # ------------------------------------------------------------------
+    def shard(self, mesh, axis: str = "model") -> "SDXLRefiner":
+        """Tensor-parallel placement over `axis` of `mesh` in place.
+
+        UNet transformer matrices Megatron-sharded, VAE/text replicated
+        (diffusion/sharding.py); the jitted refine function is untouched —
+        GSPMD propagates the NamedShardings and inserts the collectives.
+        Flips the UNet to the jnp attention path (a pallas_call would block
+        SPMD partitioning of its grid). Returns self.
+        """
+        import dataclasses as _dc
+
+        from textmae_tpu.diffusion.sharding import shard_refiner_params
+
+        if self.config.unet.use_pallas:
+            self.config = _dc.replace(
+                self.config, unet=_dc.replace(self.config.unet, use_pallas=False)
+            )
+            self.unet = UNet2DCondition(self.config.unet)
+            self._refine_fn = jax.jit(
+                self._refine_impl, static_argnames=("num_steps",)
+            )
+        self.params = shard_refiner_params(self.params, mesh, axis)
+        return self
+
     def _time_ids(self, n: int, h: int, w: int, aesthetic: float) -> jnp.ndarray:
         ids = jnp.asarray([h, w, 0, 0, aesthetic], jnp.float32)
         return jnp.broadcast_to(ids[None, : self.config.unet.num_time_ids], (n, self.config.unet.num_time_ids))

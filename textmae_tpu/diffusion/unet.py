@@ -43,6 +43,11 @@ class UNetConfig:
     pooled_projection_dim: int = 1280
     norm_groups: int = 32
     dtype: Any = jnp.float32
+    # fused Pallas attention on TPU (ops/attention.py: single-block kernel at
+    # S<=256, blockwise flash beyond). False routes the jnp reference path —
+    # required under sharded jit (a pallas_call blocks GSPMD partitioning of
+    # the (batch, head) grid), so shard_refiner_params flips it off.
+    use_pallas: bool = True
 
     @property
     def time_embed_dim(self) -> int:
@@ -95,9 +100,12 @@ class CrossAttention(nn.Module):
     query_dim: int
     heads: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, context=None):
+        from textmae_tpu.ops.attention import fused_attention
+
         context = x if context is None else context
         d = self.query_dim
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -109,15 +117,22 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, m, self.heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, self.heads, hd).transpose(0, 2, 1, 3)
-        attn = jax.nn.softmax(
-            jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * (hd ** -0.5), axis=-1
-        ).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = fused_attention(q, k, v, use_pallas=self.use_pallas)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d).astype(self.dtype)
         return nn.Dense(d, dtype=self.dtype, name="to_out_0")(out)
 
 
 class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP with the value/gate projections as SEPARATE kernels.
+
+    diffusers fuses both into one `net.0.proj` weight and splits the output
+    in half. Splitting a tensor-parallel-sharded axis in half is exactly the
+    wrong layout for TP (each device would hold one half entirely ->
+    all-to-all before the gate multiply), so the two halves are separate
+    Dense layers here — each column-shards cleanly over "model" — and the
+    converter (convert.py) slices the diffusers weight into them.
+    """
+
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.float32
@@ -125,8 +140,8 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_h")(x)
+        gate = nn.Dense(inner, dtype=self.dtype, name="proj_gate")(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(h * nn.gelu(gate, approximate=False))
 
 
@@ -134,15 +149,16 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + CrossAttention(self.dim, self.heads, self.dtype, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        )
-        x = x + CrossAttention(self.dim, self.heads, self.dtype, name="attn2")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context
-        )
+        x = x + CrossAttention(
+            self.dim, self.heads, self.dtype, self.use_pallas, name="attn1"
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
+        x = x + CrossAttention(
+            self.dim, self.heads, self.dtype, self.use_pallas, name="attn2"
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context)
         return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         )
@@ -156,6 +172,7 @@ class Transformer2D(nn.Module):
     depth: int
     norm_groups: int = 32
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, context):
@@ -166,7 +183,8 @@ class Transformer2D(nn.Module):
         x = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(x)
         for i in range(self.depth):
             x = BasicTransformerBlock(
-                self.channels, self.heads, self.dtype, name=f"transformer_blocks_{i}"
+                self.channels, self.heads, self.dtype, self.use_pallas,
+                name=f"transformer_blocks_{i}",
             )(x, context)
         x = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(b, h, w, c) + res
@@ -236,7 +254,8 @@ class UNet2DCondition(nn.Module):
                 if cfg.attn_blocks[bi]:
                     x = Transformer2D(
                         ch, ch // hd, cfg.transformer_layers_per_block,
-                        cfg.norm_groups, dt, name=f"down_{bi}_attn_{li}",
+                        cfg.norm_groups, dt, cfg.use_pallas,
+                        name=f"down_{bi}_attn_{li}",
                     )(x, ctx)
                 skips.append(x)
             if bi < len(cfg.block_out_channels) - 1:
@@ -248,7 +267,7 @@ class UNet2DCondition(nn.Module):
         x = ResnetBlock(mid_ch, cfg.norm_groups, dt, name="mid_resnet_0")(x, temb)
         x = Transformer2D(
             mid_ch, mid_ch // hd, cfg.transformer_layers_per_block,
-            cfg.norm_groups, dt, name="mid_attn",
+            cfg.norm_groups, dt, cfg.use_pallas, name="mid_attn",
         )(x, ctx)
         x = ResnetBlock(mid_ch, cfg.norm_groups, dt, name="mid_resnet_1")(x, temb)
 
@@ -269,7 +288,8 @@ class UNet2DCondition(nn.Module):
                 if cfg.attn_blocks[bi]:
                     x = Transformer2D(
                         ch, ch // hd, cfg.transformer_layers_per_block,
-                        cfg.norm_groups, dt, name=f"up_{ui}_attn_{li}",
+                        cfg.norm_groups, dt, cfg.use_pallas,
+                        name=f"up_{ui}_attn_{li}",
                     )(x, ctx)
             if bi > 0:
                 x = Upsample(ch, dt, name=f"up_{ui}_upsample")(x)

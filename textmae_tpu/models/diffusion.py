@@ -29,8 +29,15 @@ class Diffuser:
     # ------------------------------------------------------------------
     @classmethod
     def prepare_model(
-        cls, backend: str = "native", num_inference_steps: Optional[int] = None
+        cls,
+        backend: str = "native",
+        num_inference_steps: Optional[int] = None,
+        tensor_parallel: int = 1,
     ) -> "Diffuser":
+        """tensor_parallel > 1 shards the native refiner's UNet transformer
+        matrices over a {"model": N} mesh of the first N local devices
+        (diffusion/sharding.py); the denoise scan then runs Megatron-TP with
+        XLA-inserted collectives."""
         self = cls()
         if backend == "torch":
             try:
@@ -65,6 +72,15 @@ class Diffuser:
                 "TEXTMAE_SDXL_PATH unset: native refiner runs REDUCED-DIM "
                 "RANDOM-INIT weights (architecture/throughput path only)"
             )
+        if tensor_parallel > 1:
+            import jax
+
+            from textmae_tpu.parallel import make_mesh
+
+            self.refiner.shard(make_mesh(
+                {"model": tensor_parallel},
+                devices=jax.devices()[:tensor_parallel],
+            ))
         return self
 
     # ------------------------------------------------------------------

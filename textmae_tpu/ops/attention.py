@@ -108,10 +108,115 @@ def _attention_bwd(res, g):
 attention.defvjp(_attention_fwd, _attention_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Long-sequence / cross-attention flash kernel (VERDICT r4 Next #1).
+#
+# The single-block kernel above holds the full (S, D) tiles per program —
+# right for the MCM/MAE token lengths (S<=256) but impossible at the SDXL
+# UNet's pixel-token lengths (784 at 224px latents, 4096 at 1024px). This
+# kernel is the classic blockwise online-softmax (flash) formulation: each
+# program owns one (block_q, D) query tile, streams the full K/V for its
+# (batch*head) slice through VMEM in block_k chunks, and carries the running
+# (max, sum, acc) so softmax never materializes the (Sq, Skv) score matrix in
+# HBM. Supports q_len != kv_len (cross-attention on text tokens).
+#
+# Reference counterpart: the reference wraps diffusers' torch UNet opaquely
+# (/root/reference/models/Diffusion/__init__.py:8-28); its attention runs
+# through torch SDP. Here it is a TPU Mosaic kernel.
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int
+):
+    q = q_ref[0]  # (bq, d)
+    bq, d = q.shape
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    # static unrolled loop with exact-size slices: the tail block is cut to
+    # kv_len, so no kv masking is ever needed
+    for kb in range(0, kv_len, block_k):
+        size = min(block_k, kv_len - kb)
+        k_blk = k_ref[0, kb : kb + size, :]
+        v_blk = v_ref[0, kb : kb + size, :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, size) f32
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * corr + pv
+        m = m_new
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _attention_flash(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, Sq, D) x (B, H, Skv, D) -> (B, H, Sq, D), blockwise fused."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bh = b * h
+    bq = min(block_q, sq)
+    qf = q.reshape(bh, sq, d)
+    kf = k.reshape(bh, skv, d)
+    vf = v.reshape(bh, skv, d)
+    grid = (bh, pl.cdiv(sq, bq))
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (1, skv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=d ** -0.5, block_k=block_k, kv_len=skv
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Blockwise fused attention: Pallas forward, jnp gradient via recompute.
+
+    The recompute backward materializes the score matrix — fine for the
+    shapes that train here (MCM S=145); the long-sequence UNet path is
+    inference-only.
+    """
+    return _attention_flash(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return _attention_flash(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_reference, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
 def fused_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, use_pallas: bool = True
 ) -> jnp.ndarray:
-    """Dispatch between the Pallas kernel and the jnp reference path.
+    """Dispatch between the Pallas kernels and the jnp reference path.
 
     The jnp path is used on CPU (tests / virtual multi-device meshes) and
     whenever the caller is running under a sharded jit where the pallas_call
@@ -120,6 +225,11 @@ def fused_attention(
     # head_dim < 64 leaves the MXU contraction lanes half-empty in the
     # kernel while XLA folds the tiny dots into its own fusion better
     # (measured: 0.62-0.89x at (24,16,197,32)); route those to XLA
-    if use_pallas and _HAS_PLTPU and q.shape[-1] >= 64 and jax.default_backend() == "tpu":
-        return attention(q, k, v)
-    return attention_reference(q, k, v)
+    if not (
+        use_pallas and _HAS_PLTPU and q.shape[-1] >= 64
+        and jax.default_backend() == "tpu"
+    ):
+        return attention_reference(q, k, v)
+    if q.shape == k.shape and q.shape[2] <= 256:
+        return attention(q, k, v)  # single-block kernel, measured 1.2-2.0x
+    return flash_attention(q, k, v)

@@ -149,6 +149,145 @@ def mcm_forward_flops(cfg, batch: int = 1) -> float:
     return batch * f
 
 
+def _attn_flops(t_q: int, t_kv: int, c: int, c_ctx: Optional[int] = None) -> float:
+    """q+out projections on queries, k+v projections on context, plus the
+    score and value matmuls (multiply-add = 2 FLOPs)."""
+    c_ctx = c if c_ctx is None else c_ctx
+    return 2.0 * (2 * t_q * c * c + 2 * t_kv * c_ctx * c) + 4.0 * t_q * t_kv * c
+
+
+def unet_forward_flops(cfg, h: int, w: int, ctx_len: int, batch: int = 1) -> float:
+    """Analytic FLOPs of one UNet2DCondition forward at latent (h, w).
+
+    Derived block-by-block from diffusion/unet.py (matmul/conv terms only —
+    norms/silu/softmax omitted, slight under-count); validated against the
+    compiled program's cost_analysis in tests/test_flops.py.
+    """
+    temb = cfg.time_embed_dim
+    c0 = cfg.block_out_channels[0]
+
+    def resnet(sh, sw, cin, ch):
+        r = _conv3_flops(sh, sw, cin, ch) + _conv3_flops(sh, sw, ch, ch)
+        r += 2.0 * temb * ch  # time_emb_proj
+        if cin != ch:
+            r += 2.0 * sh * sw * cin * ch  # 1x1 shortcut
+        return r
+
+    def transformer(sh, sw, ch):
+        t = sh * sw
+        r = 2.0 * 2 * t * ch * ch  # proj_in + proj_out
+        per = _attn_flops(t, t, ch)  # self
+        per += _attn_flops(t, ctx_len, ch, cfg.cross_attention_dim)  # cross
+        inner = 4 * ch
+        per += 2.0 * (2 * t * ch * inner) + 2.0 * t * inner * ch  # GEGLU
+        return r + cfg.transformer_layers_per_block * per
+
+    f = 0.0
+    # conditioning MLPs (tiny, once per forward)
+    f += 2.0 * (c0 * temb + temb * temb)
+    add_in = cfg.pooled_projection_dim + cfg.num_time_ids * cfg.addition_time_embed_dim
+    f += 2.0 * (add_in * temb + temb * temb)
+    f += _conv3_flops(h, w, cfg.in_channels, c0)
+
+    # down path (mirror the forward's skip bookkeeping: (channels, spatial))
+    skips = [(c0, h, w)]
+    sh, sw, cin = h, w, c0
+    for bi, ch in enumerate(cfg.block_out_channels):
+        for _ in range(cfg.layers_per_block):
+            f += resnet(sh, sw, cin, ch)
+            cin = ch
+            if cfg.attn_blocks[bi]:
+                f += transformer(sh, sw, ch)
+            skips.append((ch, sh, sw))
+        if bi < len(cfg.block_out_channels) - 1:
+            f += _conv3_flops(sh, sw, ch, ch, 2)
+            sh, sw = -(-sh // 2), -(-sw // 2)
+            skips.append((ch, sh, sw))
+
+    mid = cfg.block_out_channels[-1]
+    f += 2 * resnet(sh, sw, mid, mid) + transformer(sh, sw, mid)
+
+    cur = mid
+    for ui, bi in enumerate(reversed(range(len(cfg.block_out_channels)))):
+        ch = cfg.block_out_channels[bi]
+        for _ in range(cfg.layers_per_block + 1):
+            sk, sh, sw = skips.pop()
+            f += resnet(sh, sw, cur + sk, ch)
+            cur = ch
+            if cfg.attn_blocks[bi]:
+                f += transformer(sh, sw, ch)
+        if bi > 0:
+            sh, sw = sh * 2, sw * 2  # nearest resize then conv
+            f += _conv3_flops(sh, sw, ch, ch)
+
+    f += _conv3_flops(h, w, cfg.block_out_channels[0], cfg.out_channels)
+    return batch * f
+
+
+def vae_roundtrip_flops(cfg, h: int, w: int, batch: int = 1) -> float:
+    """Analytic FLOPs of AutoencoderKL encode + decode at image (h, w)
+    (diffusion/vae.py): conv/attention matmul terms only."""
+
+    def resnet(sh, sw, cin, ch):
+        r = _conv3_flops(sh, sw, cin, ch) + _conv3_flops(sh, sw, ch, ch)
+        if cin != ch:
+            r += 2.0 * sh * sw * cin * ch
+        return r
+
+    def mid(sh, sw, ch):
+        t = sh * sw
+        return 2 * resnet(sh, sw, ch, ch) + 4 * 2.0 * t * ch * ch + 4.0 * t * t * ch
+
+    blocks = cfg.block_out_channels
+    lat = cfg.latent_channels
+    f = 0.0
+    # encoder
+    sh, sw, cin = h, w, cfg.in_channels
+    f += _conv3_flops(sh, sw, cin, blocks[0])
+    cin = blocks[0]
+    for bi, ch in enumerate(blocks):
+        for _ in range(cfg.layers_per_block):
+            f += resnet(sh, sw, cin, ch)
+            cin = ch
+        if bi < len(blocks) - 1:
+            f += _conv3_flops(sh, sw, ch, ch, 2)
+            sh, sw = -(-sh // 2), -(-sw // 2)
+    f += mid(sh, sw, blocks[-1])
+    f += _conv3_flops(sh, sw, blocks[-1], 2 * lat) + 2.0 * sh * sw * (2 * lat) ** 2
+    # decoder
+    rev = tuple(reversed(blocks))
+    f += 2.0 * sh * sw * lat * lat  # post_quant 1x1
+    f += _conv3_flops(sh, sw, lat, rev[0])
+    f += mid(sh, sw, rev[0])
+    cin = rev[0]
+    for bi, ch in enumerate(rev):
+        for _ in range(cfg.layers_per_block + 1):
+            f += resnet(sh, sw, cin, ch)
+            cin = ch
+        if bi < len(rev) - 1:
+            sh, sw = sh * 2, sw * 2
+            f += _conv3_flops(sh, sw, ch, ch)
+    f += _conv3_flops(sh, sw, rev[-1], cfg.in_channels)
+    return batch * f
+
+
+def refiner_forward_flops(rcfg, h: int, w: int, batch: int = 1) -> float:
+    """Analytic model FLOPs of one SDXLRefiner.refine_batch image batch:
+    VAE encode + num_run_steps x UNet at 2x batch (classifier-free guidance)
+    + VAE decode. The CLIP text encode (once, 77 tokens) is < 0.1% at real
+    dims and is omitted. Matches diffusion/refiner.py _refine_impl."""
+    steps = rcfg.num_inference_steps - int(
+        rcfg.num_inference_steps * (1.0 - rcfg.strength)
+    )
+    factor = 2 ** (len(rcfg.vae.block_out_channels) - 1)
+    lh, lw = h // factor, w // factor
+    f = vae_roundtrip_flops(rcfg.vae, h, w, batch)
+    f += steps * unet_forward_flops(
+        rcfg.unet, lh, lw, rcfg.text.max_length, batch=2 * batch
+    )
+    return f
+
+
 def mfu(flops_per_s: float, device=None) -> Optional[float]:
     """Model FLOPs utilization: achieved / peak for the local chip."""
     peak = chip_peak_flops(device)
