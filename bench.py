@@ -631,6 +631,38 @@ def main():
             out["tiled_holdout_psnr"] = round(agg(hold_rows, "psnr"), 3)
             out["tiled_holdout_ms_ssim"] = agg(hold_rows, "ms-ssim")
             out["tiled_holdout_bpp"] = round(agg(hold_rows, "bpp"), 4)
+
+        # ablation: per-tile keep allocation + feathered overlap stitching
+        # (VERDICT r4 Next #4) on the SAME images/checkpoint — fixed-vs-
+        # adaptive rows land side by side in the record
+        if os.environ.get("BENCH_TILED_ADAPTIVE", "1") != "0" and stage_fits(300):
+            from textmae_tpu.eval.tiling import (
+                inference_tiled_adaptive, make_keep_codecs,
+            )
+
+            kcodecs = make_keep_codecs(
+                tcodec.model, tcodec.variables, (49, 100, 144), num_threads=16
+            )
+            a_res = []
+            for arr in arrs:
+                ra = inference_tiled_adaptive(
+                    kcodecs, arr, overlap=16, normalize=tnorm,
+                    pad_buckets=(2, 4, 8, 12, 16),
+                )
+                ra.pop("x_hat")
+                a_res.append(ra)
+            a_train = [
+                r for r, nm in zip(a_res, names) if nm not in holdout_names
+            ]
+            a_hold = [r for r, nm in zip(a_res, names) if nm in holdout_names]
+            if a_train:
+                out["tiled_adaptive_psnr"] = round(agg(a_train, "psnr"), 3)
+                out["tiled_adaptive_ms_ssim"] = agg(a_train, "ms-ssim")
+                out["tiled_adaptive_bpp"] = round(agg(a_train, "bpp"), 4)
+            if a_hold:
+                out["tiled_holdout_adaptive_psnr"] = round(agg(a_hold, "psnr"), 3)
+                out["tiled_holdout_adaptive_ms_ssim"] = agg(a_hold, "ms-ssim")
+                out["tiled_holdout_adaptive_bpp"] = round(agg(a_hold, "bpp"), 4)
         return out
 
     def stage_rd_curve():

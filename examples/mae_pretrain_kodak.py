@@ -51,6 +51,21 @@ def main():
                         "uniform area fraction in [LO,HI] of the source and "
                         "resize to 224 (e.g. 0.2,1.0 — the published MAE "
                         "pretrain augmentation); default: fixed 224 crops")
+    p.add_argument("--gan", action="store_true",
+                   help="GAN-loss pretrain (the reference init's recipe "
+                        "shape, setup.sh:21-22 mae_visualize_*_ganloss): "
+                        "raw-pixel masked MSE + hinge adversarial loss from "
+                        "a PatchGAN critic on the composite reconstruction "
+                        "(train/gan_engine.py). Implies norm_pix_loss=False")
+    p.add_argument("--gan-weight", type=float, default=0.1,
+                   help="adversarial term weight in the generator objective")
+    p.add_argument("--gan-lr", type=float, default=1e-4,
+                   help="discriminator Adam learning rate")
+    p.add_argument("--init", type=str, default=None,
+                   help="warm-start the MAE from a params npz (e.g. the "
+                        "committed mae_kodak_rrc200k — GAN-FINETUNE like the "
+                        "published ganloss checkpoint, which finetunes a "
+                        "trained MAE)")
     p.add_argument("--debug-tiny", action="store_true")
     args = p.parse_args()
 
@@ -89,16 +104,19 @@ def main():
     pool = CropPool(train_files, args.pool, 224, seed=args.seed, verbose=True,
                     scale_range=scale_range)
 
+    # GAN mode predicts raw pixels (the visualize/ganloss model family);
+    # norm_pix targets would make the composite image meaningless
+    norm_pix = not args.gan
     if args.debug_tiny:
         model = mae_models.MaskedAutoencoderViT(
             mae_models.MAEConfig(
                 embed_dim=32, depth=2, num_heads=2,
                 decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
-                use_pallas=False, norm_pix_loss=True,
+                use_pallas=False, norm_pix_loss=norm_pix,
             )
         )
     else:
-        model = mae_models.mae_vit_base_patch16(norm_pix_loss=True)
+        model = mae_models.mae_vit_base_patch16(norm_pix_loss=norm_pix)
 
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((2, 3, 224, 224), jnp.float32)
@@ -113,9 +131,41 @@ def main():
     schedule = warmup_half_cosine(
         lr, max(args.steps // (20 * spe), 1), max(args.steps // spe, 1), spe, 0.0
     )
+    if args.init:
+        from textmae_tpu.train.checkpoint import load_params_npz
+
+        params = load_params_npz(args.init)
+        print(f"warm-started MAE params from {args.init}", flush=True)
+
     tx = mae_pretrain_optimizer(params, schedule, weight_decay=0.05)
     state = TrainState.create(params, tx)
-    step = make_mae_pretrain_step(model, tx, mask_ratio=args.mask_ratio)
+    d_state = None
+    if args.gan:
+        import optax
+
+        from textmae_tpu.models.discriminator import (
+            DiscriminatorConfig, PatchDiscriminator,
+        )
+        from textmae_tpu.train.gan_engine import make_mae_gan_step
+
+        disc = PatchDiscriminator(
+            DiscriminatorConfig(channels=(16, 32) if args.debug_tiny else (64, 128, 256))
+        )
+        d_params = jax.jit(lambda r: disc.init(r, sample)["params"])(
+            jax.random.PRNGKey(args.seed + 1)
+        )
+        d_tx = optax.adam(args.gan_lr, b1=0.5, b2=0.9)  # standard GAN betas
+        d_state = TrainState.create(d_params, d_tx)
+        gan_step = make_mae_gan_step(
+            model, disc, tx, d_tx, mask_ratio=args.mask_ratio,
+            adv_weight=args.gan_weight,
+        )
+
+        def step(state, bi, rng, _pair=[d_state]):
+            s, _pair[0], m = gan_step(state, _pair[0], bi, rng)
+            return s, m
+    else:
+        step = make_mae_pretrain_step(model, tx, mask_ratio=args.mask_ratio)
 
     start_step = 0
     if args.ckpt_dir:
@@ -153,9 +203,14 @@ def main():
             "model": "mae_vit_base_patch16" if not args.debug_tiny else "tiny",
             "mask_ratio": args.mask_ratio,
             "steps": args.steps,
-            "norm_pix_loss": True,
+            "norm_pix_loss": norm_pix,
             "normalize": True,
             "holdout": ",".join(sorted(holdout)),
+            **(
+                {"loss": "ganloss", "gan_weight": args.gan_weight,
+                 "init": str(args.init or "")}
+                if args.gan else {}
+            ),
         },
     )
     print(f"saved {path}", flush=True)
