@@ -281,3 +281,28 @@ def test_update_invalidates_packed_pallas_tables(setup):
     tab1, l1 = codec._packed_gauss_tables()
     assert l1 == l0
     np.testing.assert_array_equal(np.asarray(tab1), np.asarray(tab0))
+
+
+def test_slice_tail_parallel_matches_sequential(setup):
+    """The vmapped tail (slices >= max_support, mcm.py _slice_scan) must
+    reproduce the fully sequential chain: same expression trees, same bits in
+    expectation — pinned here at eval AND noise-training forwards."""
+    import dataclasses
+
+    model, variables, imgs, scores = setup
+    seq_model = MCM(dataclasses.replace(TINY, slice_tail_parallel=False))
+    assert model.config.slice_tail_parallel  # default is the parallel form
+    for kwargs in (
+        dict(training=False, compute_loss=False),
+        dict(training=True, compute_loss=True),
+    ):
+        rngs = {"noise": jax.random.PRNGKey(5)}
+        a = model.apply(variables, imgs, scores, rngs=rngs, **kwargs)
+        b = seq_model.apply(variables, imgs, scores, rngs=rngs, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(a["x_hat"]), np.asarray(b["x_hat"]), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["likelihoods"]["y"]), np.asarray(b["likelihoods"]["y"]),
+            rtol=2e-5, atol=2e-5,
+        )

@@ -91,6 +91,19 @@ class MCMConfig:
     dtype: Any = jnp.float32  # transformer compute dtype (bf16 for TPU training)
     use_pallas: bool = True
     remat: bool = False
+    # matmul input dtype for the slice-net convs (cc mean/scale + LRP):
+    # bfloat16 runs them on the MXU's fast path with f32 accumulation (the
+    # chain is ~34% of forward FLOPs and f32 convs pay ~2x); None = exact
+    # legacy f32 expressions (torch-oracle parity / bit-identity default).
+    # Applied consistently in the forward AND both codec paths, so streams
+    # stay self-consistent either way.
+    slice_conv_dtype: Any = None
+    # run slices >= max_support as ONE vmapped step instead of sequential
+    # scan steps (they only read the context buffer, never extend it — the
+    # same structural fact the codec's tail-parallel decode exploits).
+    # Equivalence with the sequential form is suite-pinned; False restores
+    # the fully sequential chain (measurement / debugging).
+    slice_tail_parallel: bool = True
     # mixture-of-experts MAE encoder (V-MoE placement, parallel/moe.py):
     # every moe_every'th encoder block's MLP becomes moe_experts routed
     # expert FFNs. 0 = dense (reference semantics). Expert parallelism comes
@@ -445,8 +458,8 @@ class MCM(nn.Module):
                 buf,
                 latent_means,
                 latent_scales,
-                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x),
-                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x),
+                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x, cfg.slice_conv_dtype),
+                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x, cfg.slice_conv_dtype),
             )
             if noise_rng is not None:
                 y_for_lik = y_slice + noise
@@ -456,15 +469,52 @@ class MCM(nn.Module):
             y_hat = self._lrp_refine(
                 quantize_ste(y_slice - mu) + mu,
                 mean_support,
-                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x),
+                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x, cfg.slice_conv_dtype),
             )
             return self._buf_update(buf, y_hat, i), (y_hat, lik)
 
-        _, (y_hat_slices, y_liks) = jax.lax.scan(
-            step,
-            buf0,
+        m = cfg.max_support if cfg.slice_tail_parallel else s
+        take = lambda tree, sl: jax.tree.map(lambda a: a[sl], tree)
+        head_xs = take(
             (idxs, y_slices, noises, (ccm_k, ccm_b), (ccs_k, ccs_b), (lrp_k, lrp_b)),
+            slice(0, m),
         )
+        buf_final, (y_hat_head, lik_head) = jax.lax.scan(step, buf0, head_xs)
+
+        # TAIL PARALLELISM: _buf_update never writes slices >= max_support, so
+        # slices m..s-1 depend only on buf_final, not on each other — they run
+        # as ONE vmapped step instead of s-m sequential scan steps (the same
+        # structural fact eval/codec.py's tail-parallel decode exploits; the
+        # shared helpers keep the expression trees — and therefore the bits —
+        # identical to the sequential form, suite-pinned).
+        def tail_one(y_slice, noise, cm, cs, lp):
+            mu, sigma, mean_support = self._slice_mu_sigma(
+                buf_final,
+                latent_means,
+                latent_scales,
+                lambda x: StackedSliceNet.apply_one(cm[0], cm[1], x, cfg.slice_conv_dtype),
+                lambda x: StackedSliceNet.apply_one(cs[0], cs[1], x, cfg.slice_conv_dtype),
+            )
+            if noise_rng is not None:
+                y_for_lik = y_slice + noise
+            else:
+                y_for_lik = jnp.round(y_slice - mu) + mu
+            lik = gaussian_likelihood(y_for_lik, sigma, mu)
+            y_hat = self._lrp_refine(
+                quantize_ste(y_slice - mu) + mu,
+                mean_support,
+                lambda x: StackedSliceNet.apply_one(lp[0], lp[1], x, cfg.slice_conv_dtype),
+            )
+            return y_hat, lik
+
+        y_hat_tail, lik_tail = jax.vmap(tail_one)(
+            *take((y_slices, noises), slice(m, s)),
+            take((ccm_k, ccm_b), slice(m, s)),
+            take((ccs_k, ccs_b), slice(m, s)),
+            take((lrp_k, lrp_b), slice(m, s)),
+        )
+        y_hat_slices = jnp.concatenate([y_hat_head, y_hat_tail])
+        y_liks = jnp.concatenate([lik_head, lik_tail])
         return self._merge_slices(y_hat_slices), self._merge_slices(y_liks)
 
     # ------------------------------------------------------------------
@@ -573,15 +623,15 @@ class MCM(nn.Module):
                 buf,
                 latent_means,
                 latent_scales,
-                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x),
-                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x),
+                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x, cfg.slice_conv_dtype),
+                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x, cfg.slice_conv_dtype),
             )
             index = gaussian_build_indexes(sigma, scale_table)
             y_q = gaussian_quantize_symbols(y_slice, mu)
             y_hat = self._lrp_refine(
                 y_q.astype(jnp.float32) + mu,
                 mean_support,
-                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x),
+                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x, cfg.slice_conv_dtype),
             )
             return self._buf_update(buf, y_hat, i), (y_q, index)
 
@@ -685,8 +735,8 @@ class MCM(nn.Module):
         tail_s = ([k[t0:] for k in ccs_k], [b[t0:] for b in ccs_b])
 
         def one(mk, mb, sk, sb):
-            mu = StackedSliceNet.apply_one(mk, mb, mean_support)
-            sigma = StackedSliceNet.apply_one(sk, sb, scale_support)
+            mu = StackedSliceNet.apply_one(mk, mb, mean_support, cfg.slice_conv_dtype)
+            sigma = StackedSliceNet.apply_one(sk, sb, scale_support, cfg.slice_conv_dtype)
             return mu, gaussian_build_indexes(sigma, scale_table)
 
         mu, index = jax.vmap(one)(tail_m[0], tail_m[1], tail_s[0], tail_s[1])
@@ -708,7 +758,7 @@ class MCM(nn.Module):
             return self._lrp_refine(
                 sym.astype(jnp.float32) + mu,
                 mean_support,
-                lambda x: StackedSliceNet.apply_one(lk, lb, x),
+                lambda x: StackedSliceNet.apply_one(lk, lb, x, cfg.slice_conv_dtype),
             )
 
         return jax.vmap(one)(tail[0], tail[1], mu_stack, sym_stack)
@@ -780,13 +830,13 @@ class MCM(nn.Module):
                 buf,
                 latent_means,
                 latent_scales,
-                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x),
-                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x),
+                lambda x: StackedSliceNet.apply_one(cm_k, cm_b, x, cfg.slice_conv_dtype),
+                lambda x: StackedSliceNet.apply_one(cs_k, cs_b, x, cfg.slice_conv_dtype),
             )
             y_hat = self._lrp_refine(
                 sym.astype(jnp.float32) + mu,
                 mean_support,
-                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x),
+                lambda x: StackedSliceNet.apply_one(lp_k, lp_b, x, cfg.slice_conv_dtype),
             )
             return self._buf_update(buf, y_hat, i), y_hat
 

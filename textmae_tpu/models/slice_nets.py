@@ -60,18 +60,40 @@ class StackedSliceNet(nn.Module):
 
     @staticmethod
     def apply_one(
-        kernels: Sequence[jnp.ndarray], biases: Sequence[jnp.ndarray], x: jnp.ndarray
+        kernels: Sequence[jnp.ndarray],
+        biases: Sequence[jnp.ndarray],
+        x: jnp.ndarray,
+        compute_dtype=None,
     ) -> jnp.ndarray:
-        """Run one slice's net. kernels/biases are the per-slice (unstacked) params."""
+        """Run one slice's net. kernels/biases are the per-slice (unstacked)
+        params.
+
+        compute_dtype: optional matmul input dtype for the convs (e.g.
+        bfloat16 — inputs/kernels cast down per layer, accumulation forced
+        back to f32 via preferred_element_type, biases/GELU stay f32). None
+        preserves the exact legacy f32 expression (the torch-oracle-parity
+        and codec-bit-identity default).
+        """
         pad = kernels[0].shape[0] // 2
         n = len(kernels)
         for j in range(n):
-            x = (
-                jax.lax.conv_general_dilated(
-                    x, kernels[j], (1, 1), ((pad, pad), (pad, pad)), dimension_numbers=_DN
+            if compute_dtype is None:
+                y = jax.lax.conv_general_dilated(
+                    x, kernels[j], (1, 1), ((pad, pad), (pad, pad)),
+                    dimension_numbers=_DN,
                 )
-                + biases[j]
-            )
+            else:
+                # plain low-precision conv, f32 upcast after: XLA accumulates
+                # bf16 MXU dots in f32 internally, and keeping operand/output
+                # dtypes equal keeps the conv VJP well-typed (a f32
+                # preferred_element_type on bf16 operands breaks the
+                # transpose rule's dtype agreement)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(compute_dtype),
+                    kernels[j].astype(compute_dtype),
+                    (1, 1), ((pad, pad), (pad, pad)), dimension_numbers=_DN,
+                ).astype(jnp.float32)
+            x = y + biases[j]
             if j < n - 1:
                 x = nn.gelu(x, approximate=False)
         return x
