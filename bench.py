@@ -648,8 +648,18 @@ def main():
                 inference_tiled_adaptive, make_keep_codecs,
             )
 
+            # keep ladder default {144}: pure overlap+feathered stitching
+            # (seam removal at a (t/(t-ov))^2 rate premium). Measured
+            # ablations (VERIFICATION.md r5): down-allocating keep-144
+            # weights to 49/100 on flat tiles saves rate but costs more
+            # PSNR than it saves — off-distribution for the checkpoint —
+            # so multi-keep ladders stay opt-in (BENCH_TILED_KEEPS=100,144)
+            keep_opts = tuple(
+                int(v) for v in
+                os.environ.get("BENCH_TILED_KEEPS", "144").split(",")
+            )
             kcodecs = make_keep_codecs(
-                tcodec.model, tcodec.variables, (49, 100, 144), num_threads=16
+                tcodec.model, tcodec.variables, keep_opts, num_threads=16
             )
             a_res = []
             for arr in arrs:
