@@ -190,11 +190,13 @@ def _keep_grid_roundtrip(img_size: int, num_keep: int):
         assert a.y_string == b.y_string and a.z_string == b.z_string
 
 
-@pytest.mark.parametrize("num_keep", [16, 25, 36])
+@pytest.mark.parametrize("num_keep", [25, 36])
 def test_keep_grid_property_small(num_keep):
-    """keep grids 4/5/6 (div-4, odd, even-not-div-4) through the stride-2
-    h_a/h_s path: hyper_grid = ceil(g/4); the subpel x2 stages overshoot for
-    grids not divisible by 4 and h_s crops back (mcm.py run_h_s)."""
+    """keep grids 5/6 (odd, even-not-div-4) through the stride-2 h_a/h_s
+    path: hyper_grid = ceil(g/4); the subpel x2 stages overshoot for grids
+    not divisible by 4 and h_s crops back (mcm.py run_h_s). Grid 4 (div-4)
+    is the TINY config every other codec test runs; grids 7/12 are in the
+    slow tier."""
     _keep_grid_roundtrip(96, num_keep)
 
 

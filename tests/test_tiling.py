@@ -50,6 +50,7 @@ def test_inference_tiled(rng):
     assert np.isfinite(res["psnr"])
 
 
+@pytest.mark.slow  # normalize plumbing also covered by the adaptive test + serve normalize mode
 def test_inference_tiled_normalize_consistency(rng):
     """normalize=True must round-trip through the SAME distribution the
     model saw: the de-normalized reconstruction of a normalized input equals
@@ -130,11 +131,13 @@ def test_inference_tiled_adaptive(rng):
     variables = jax.jit(lambda r, x, s: model.init(
         {"params": r, "noise": r}, x, s, training=False, compute_loss=False
     ))(key, imgs, scores)
-    codecs = make_keep_codecs(model, variables, (16, 25, 36))
-    assert set(codecs) == {16, 25, 36}
+    codecs = make_keep_codecs(model, variables, (16, 36))
+    assert set(codecs) == {16, 36}
     # half flat / half noisy image: the flat tiles must pick a smaller keep
-    img = np.zeros((96, 192, 3), np.float32)
-    img[:, 96:] = rng.random((96, 96, 3)).astype(np.float32)
+    # (96x160 -> 2 overlapping tiles: smallest shape that exercises both
+    # the allocator and the feathered stitch — suite wall-time cap)
+    img = np.zeros((96, 160, 3), np.float32)
+    img[:, 80:] = rng.random((96, 80, 3)).astype(np.float32)
     res = inference_tiled_adaptive(codecs, img, tile=96, overlap=16)
     assert res["x_hat"].shape == img.shape
     assert np.isfinite(res["psnr"]) and res["bpp"] > 0

@@ -77,6 +77,7 @@ def test_train_step_runs_and_descends(tiny_setup):
     assert not np.allclose(np.asarray(q0), np.asarray(q1))
 
 
+@pytest.mark.slow  # DP semantics also pinned by the dp x tp equivalence test (test_tp.py)
 def test_train_step_data_parallel(tiny_setup):
     model, params, imgs, scores = tiny_setup
     mesh = make_mesh()  # 8 virtual CPU devices
