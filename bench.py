@@ -798,8 +798,15 @@ def main():
                 R.pop(f"{name}_note", None)  # clear a stale skip marker
             R.pop(f"{name}_measured_at", None)
             if fields:
-                cache[name] = {"fields": fields, "sha": sha, "t": time.time()}
+                # MERGE over the cached fields: a budget-cut partial fresh
+                # measurement (e.g. train b8 without the b32/b64 points) must
+                # not evict richer previously-measured keys
+                merged = {**cache.get(name, {}).get("fields", {}), **fields}
+                cache[name] = {"fields": merged, "sha": sha, "t": time.time()}
                 save_stage_cache(cache)
+                # and the scoreboard shows the merged view too
+                for k, v in merged.items():
+                    R.setdefault(k, v)
         except Exception as e:  # a failed stage never sinks earlier fields
             fill_from_cache(f"skipped: {type(e).__name__}: {e}"[:300])
         emit()
